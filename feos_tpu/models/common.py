@@ -1,0 +1,117 @@
+"""Shared PC-SAFT mixture building blocks (dipole integrals, association).
+
+Used by both the homosegmented mixture model (pcsaft_mix) and the
+group-contribution model (gc_pcsaft), mirroring the module-level helpers the
+reference duplicates across feos_torch/pcsaft_mix.py:482-522 and
+feos_torch/gc_pcsaft.py:531-564.
+
+All functions are per-item (unbatched): component axes are static length-n
+arrays, batch comes from ``jax.vmap`` at the API layer.  Rows that do not
+belong to a regime are handled by *input sanitization + output masking*
+(static shapes) instead of the reference's dynamic boolean row indexing
+(SURVEY.md section 3.5).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import AD, BD, CD
+
+PI = np.pi
+
+
+def pair_integral(mij1, mij2, etas, eps_ij_t):
+    """Dipole pair integral J2 (reference feos_torch/pcsaft_mix.py:482-490).
+
+    ``etas`` is the (7,) vector of eta powers [1, eta, ..., eta^6].
+    """
+    a = AD[:, 0] + mij1 * AD[:, 1] + mij2 * AD[:, 2]
+    b = BD[:, 0] + mij1 * BD[:, 1] + mij2 * BD[:, 2]
+    return jnp.dot(eps_ij_t * b + a, etas[:5])
+
+
+def triplet_integral(mijk1, mijk2, etas):
+    """Dipole triplet integral J3 (reference feos_torch/pcsaft_mix.py:493-497)."""
+    return jnp.dot(CD[:, 0] + mijk1 * CD[:, 1] + mijk2 * CD[:, 2], etas[:4])
+
+
+def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
+    """Dipolar contribution for an n-component mixture (per item).
+
+    ``mu2_scaled`` must equal mu^2 * MU2_FACTOR / m  (i.e. the reference's
+    ``sigma**3 * epsilon_k * mu2`` for the homosegmented model,
+    feos_torch/pcsaft_mix.py:163, and ``mu2`` directly for the gc model,
+    feos_torch/gc_pcsaft.py:262).  Returns phi2^2/(phi2 - phi3) with the
+    denominator guarded so that mu = 0 rows contribute exactly zero with
+    finite gradients (the reference instead row-subsets,
+    feos_torch/pcsaft_mix.py:111-115).
+    """
+    n = m.shape[0]
+    mu2_term = mu2_scaled / temperature
+    mc = jnp.clip(m, max=2.0)
+    phi2 = 0.0
+    phi3 = 0.0
+    for i in range(n):
+        for j in range(i, n):
+            sigma_ij_3 = (0.5 * (sigma[i] + sigma[j])) ** 3
+            mij = jnp.sqrt(mc[i] * mc[j])
+            mij1 = (mij - 1.0) / mij
+            mij2 = mij1 * (mij - 2.0) / mij
+            eps_ij_t = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
+            c = 1.0 if i == j else 2.0
+            phi2 = phi2 - (
+                rho[i] * rho[j] * mu2_term[i] * mu2_term[j]
+                * pair_integral(mij1, mij2, etas, eps_ij_t) / sigma_ij_3 * c
+            )
+            for k in range(j, n):
+                sigma_ij = 0.5 * (sigma[i] + sigma[j])
+                sigma_ik = 0.5 * (sigma[i] + sigma[k])
+                sigma_jk = 0.5 * (sigma[j] + sigma[k])
+                mijk = (mc[i] * mc[j] * mc[k]) ** (1.0 / 3.0)
+                mijk1 = (mijk - 1.0) / mijk
+                mijk2 = mijk1 * (mijk - 2.0) / mijk
+                c3 = {1: 1.0, 2: 3.0, 3: 6.0}[len({i, j, k})]
+                phi3 = phi3 - (
+                    rho[i] * rho[j] * rho[k]
+                    * mu2_term[i] * mu2_term[j] * mu2_term[k]
+                    * triplet_integral(mijk1, mijk2, etas)
+                    / (sigma_ij * sigma_ik * sigma_jk) * c3
+                )
+    phi2 = phi2 * PI
+    phi3 = phi3 * (4.0 / 3.0 * PI * PI)
+    denom = phi2 - phi3
+    denom = jnp.where(denom != 0.0, denom, 1.0)
+    return phi2 * phi2 / denom
+
+
+def association_strength(
+    i, j, temperature, sigma, kappa_ab, epsilon_k_ab, d, zeta2, zeta3_m1,
+    epsilon_k_aibj=None,
+):
+    """Association strength Delta_AiBj (reference feos_torch/pcsaft_mix.py:500-522).
+
+    ``epsilon_k_aibj`` (optional scalar) overrides the arithmetic-mean cross
+    association energy for i != j when nonzero.  Callers must sanitize
+    ``kappa_ab`` on masked lanes (kappa > 0) so the sqrt has finite gradients.
+    """
+    k = d[i] * d[j] / (d[i] + d[j]) * zeta2 * zeta3_m1
+    sigma3_kappa = (sigma[i] * sigma[j]) ** 1.5 * jnp.sqrt(
+        kappa_ab[i] * kappa_ab[j]
+    )
+    eps = 0.5 * (epsilon_k_ab[i] + epsilon_k_ab[j])
+    if epsilon_k_aibj is not None and i != j:
+        eps = jnp.where(epsilon_k_aibj != 0.0, epsilon_k_aibj, eps)
+    return (
+        zeta3_m1
+        * (k * (2.0 * k + 3.0) + 1.0)
+        * sigma3_kappa
+        * (jnp.exp(eps / temperature) - 1.0)
+    )
+
+
+def site_fraction_free_energy(x):
+    """f(X) = ln X - X/2 + 1/2 per association site."""
+    return jnp.log(x) - 0.5 * x + 0.5

@@ -1,0 +1,442 @@
+"""Heterosegmented gc-PC-SAFT: parameter assembly, Helmholtz energy, bubble/dew.
+
+TPU-native re-design of the reference's group-contribution model
+(``feos_torch/gc_pcsaft.py``).  The molecule-topology assembly (segment
+count matrices, symmetrized bond-count matrices, dipole/association mixing
+rules) happens once in host numpy at construction — exactly the reference's
+Counter-based logic (feos_torch/gc_pcsaft.py:26-86) — producing fixed-shape
+arrays that the jitted per-item Helmholtz function consumes.  The
+reference's 4-level Python dispersion loop over components x segments
+(feos_torch/gc_pcsaft.py:177-194) becomes a broadcast contraction over an
+(n, n, S, S) tensor; the hard-chain bonded-pair loop
+(feos_torch/gc_pcsaft.py:156-165) a masked (S, S) matrix sum.
+
+The bubble/dew solvers and derivative machinery are shared with the
+homosegmented model (one generic implementation over the phi closure —
+feos_tpu.solvers.vle.mix_vle / feos_tpu.ops.derivatives.pressure_set),
+replacing the stateful native backend (reference src/gc_pcsaft.rs:15-171).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import A0, A1, A2, B0, B1, B2
+from ..ops.association import solve_cross_assoc_sym, solve_induced_assoc
+from ..ops.derivatives import pressure_set
+from ..units import MU2_FACTOR, PA_PER_KT_TO_REDUCED, REDUCED_TO_PA_PER_KT
+from .common import phi_dipole, site_fraction_free_energy
+
+PI = np.pi
+
+
+class GcParams(NamedTuple):
+    """Assembled gc parameters.
+
+    Batched fields (leading batch axis under ``vmap``): ``m`` (n, S) segment
+    counts times segment m; ``bonds`` (n, S, S); ``phi_corr`` (n,); dipole
+    mixing ``m_mix``/``sigma_mix``/``epsilon_k_mix``/``mu2`` (n,);
+    association aggregates ``sigma_assoc``/``epsilon_k_assoc``/``kappa_ab``/
+    ``epsilon_k_ab``/``na``/``nb`` (n,).
+
+    Segment-level fields (shared across the batch, vmapped with
+    ``in_axes=None``): ``sigma``/``epsilon_k`` (S,), ``kab`` (S, S).
+    """
+
+    m: jnp.ndarray
+    bonds: jnp.ndarray
+    phi_corr: jnp.ndarray
+    m_mix: jnp.ndarray
+    sigma_mix: jnp.ndarray
+    epsilon_k_mix: jnp.ndarray
+    mu2: jnp.ndarray
+    sigma_assoc: jnp.ndarray
+    epsilon_k_assoc: jnp.ndarray
+    kappa_ab: jnp.ndarray
+    epsilon_k_ab: jnp.ndarray
+    na: jnp.ndarray
+    nb: jnp.ndarray
+    sigma: jnp.ndarray
+    epsilon_k: jnp.ndarray
+    kab: jnp.ndarray
+
+
+_GC_BATCH_AXES = GcParams(
+    m=0, bonds=0, phi_corr=0, m_mix=0, sigma_mix=0, epsilon_k_mix=0, mu2=0,
+    sigma_assoc=0, epsilon_k_assoc=0, kappa_ab=0, epsilon_k_ab=0, na=0, nb=0,
+    sigma=None, epsilon_k=None, kab=None,
+)
+
+
+def assemble(
+    segment_identifier,
+    parameter,
+    segment_lists,
+    bond_lists,
+    binary_segment_records,
+    phi=None,
+):
+    """Build ``GcParams`` from molecule topologies (reference
+    feos_torch/gc_pcsaft.py:13-114).
+
+    ``parameter`` is the 8-tuple of segment-level arrays
+    (m, sigma, epsilon_k, mu, kappa_ab, epsilon_k_ab, na, nb).
+    """
+    m_seg, sigma, epsilon_k, mu, kappa_ab, epsilon_k_ab, na, nb = [
+        jnp.asarray(x, dtype=jnp.float64) for x in parameter
+    ]
+    S = len(segment_identifier)
+    seg_idx = {s: i for i, s in enumerate(segment_identifier)}
+
+    # static topology matrices (host numpy, never traced)
+    counts = np.array(
+        [
+            [[Counter(comp)[s] for s in segment_identifier] for comp in item]
+            for item in segment_lists
+        ],
+        dtype=np.float64,
+    )  # (B, n, S)
+
+    bonds = np.zeros(counts.shape + (S,), dtype=np.float64)  # (B, n, S, S)
+    for b, (segs, bnds) in enumerate(zip(segment_lists, bond_lists)):
+        for c, (comp_segs, comp_bonds) in enumerate(zip(segs, bnds)):
+            for i, j in comp_bonds:
+                hi, lo = sorted((seg_idx[comp_segs[i]], seg_idx[comp_segs[j]]))[::-1]
+                bonds[b, c, hi, lo] += 1.0
+
+    # parameter-derived quantities in jnp so they stay differentiable
+    # (e.g. gradients w.r.t. the binary segment parameters kab)
+    counts = jnp.asarray(counts)
+    m = counts * m_seg  # (B, n, S)
+    m_mix = m.sum(axis=2)
+    sigma_mix = ((m * sigma**3).sum(axis=2) / m_mix) ** (1.0 / 3.0)
+    epsilon_k_mix = (m * epsilon_k).sum(axis=2) / m_mix
+    mu2 = (counts * mu**2).sum(axis=2) / m_mix * MU2_FACTOR
+
+    is_assoc = counts * jnp.sign(kappa_ab * epsilon_k_ab)
+    try:
+        if np.any(np.asarray(is_assoc).sum(axis=2) > 1):
+            raise ValueError(
+                "Only up to one associating segment per component is allowed!"
+            )
+    except jax.errors.TracerArrayConversionError:
+        pass  # under tracing the static validation is skipped
+    sigma_assoc = (is_assoc * sigma).sum(axis=2)
+    epsilon_k_assoc = (is_assoc * epsilon_k).sum(axis=2)
+    kappa_ab_c = (counts * kappa_ab).sum(axis=2)
+    epsilon_k_ab_c = (counts * epsilon_k_ab).sum(axis=2)
+    na_c = (counts * na).sum(axis=2)
+    nb_c = (counts * nb).sum(axis=2)
+
+    B, n = m_mix.shape
+    phi_corr = (
+        jnp.ones((B, n)) if phi is None else jnp.asarray(phi, dtype=jnp.float64)
+    )
+
+    kab_arr = jnp.zeros((S, S), dtype=jnp.float64)
+    for s1, s2, k in binary_segment_records:
+        i, j = seg_idx[s1], seg_idx[s2]
+        kab_arr = kab_arr.at[i, j].set(k)
+        kab_arr = kab_arr.at[j, i].set(k)
+
+    return GcParams(
+        m=m,
+        bonds=jnp.asarray(bonds),
+        phi_corr=phi_corr,
+        m_mix=m_mix,
+        sigma_mix=sigma_mix,
+        epsilon_k_mix=epsilon_k_mix,
+        mu2=mu2,
+        sigma_assoc=sigma_assoc,
+        epsilon_k_assoc=epsilon_k_assoc,
+        kappa_ab=kappa_ab_c,
+        epsilon_k_ab=epsilon_k_ab_c,
+        na=na_c,
+        nb=nb_c,
+        sigma=sigma,
+        epsilon_k=epsilon_k,
+        kab=kab_arr,
+    )
+
+
+def phi_gc(g: GcParams, temperature, density):
+    """Reduced residual Helmholtz energy density of a gc mixture (per item).
+
+    Semantics match reference feos_torch/gc_pcsaft.py:116-253
+    (golden-value tested over 11 molecule topologies).
+    """
+    rho = density
+    n = g.m.shape[0]
+
+    d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / temperature))  # (S,)
+
+    md0 = jnp.sum(g.m, axis=1)  # (n,)
+    md1 = g.m @ d
+    md2 = g.m @ (d * d)
+    md3 = g.m @ (d * d * d)
+    zeta0 = PI / 6.0 * jnp.sum(md0 * rho)
+    zeta1 = PI / 6.0 * jnp.sum(md1 * rho)
+    zeta2 = PI / 6.0 * jnp.sum(md2 * rho)
+    zeta3 = PI / 6.0 * jnp.sum(md3 * rho)
+
+    zeta23 = zeta2 / zeta3
+    zeta3_2 = zeta3 * zeta3
+    zeta3_3 = zeta3_2 * zeta3
+    zeta3_m1 = 1.0 / (1.0 - zeta3)
+    zeta3_m2 = zeta3_m1 * zeta3_m1
+    etas = jnp.stack([jnp.ones_like(zeta3), zeta3, zeta3_2, zeta3_3,
+                      zeta3_2 * zeta3_2, zeta3_2 * zeta3_3, zeta3_3 * zeta3_3])
+
+    # hard sphere
+    hs = (6.0 / PI) * (
+        zeta1 * zeta2 * zeta3_m1 * 3.0
+        + zeta2 * zeta2 * zeta3_m2 * zeta23
+        + (zeta2 * zeta23 * zeta23 - zeta0) * jnp.log(1.0 - zeta3)
+    )
+
+    # hard chain over bonded segment pairs (reference feos_torch/gc_pcsaft.py:156-165)
+    c = zeta2 * zeta3_m2
+    dd = d[:, None] * d[None, :] / (d[:, None] + d[None, :])  # (S, S)
+    cdab = c * dd
+    g_ab = zeta3_m1 + cdab * 3.0 - cdab * cdab * (zeta3 - 1.0) * 2.0
+    ln_g = jnp.log(g_ab)
+    hc = -jnp.sum(rho[:, None, None] * g.bonds * ln_g[None, :, :])
+
+    # dispersion over all component/segment pairs with phi correction and kab
+    x = rho / jnp.sum(rho)
+    mmean = jnp.sum(x * md0)
+    eps_seg = g.epsilon_k[:, None] * g.epsilon_k[None, :]  # (S, S)
+    phi_pair = g.phi_corr[:, None] * g.phi_corr[None, :]  # (n, n)
+    eps_ab = (
+        jnp.sqrt(eps_seg[None, None, :, :] * phi_pair[:, :, None, None])
+        / temperature
+    )
+    offdiag = 1.0 - jnp.eye(n)
+    eps_ab = eps_ab * (1.0 - g.kab[None, None, :, :] * offdiag[:, :, None, None])
+    sigma_ab = (0.5 * (g.sigma[:, None] + g.sigma[None, :])) ** 3  # (S, S)
+    m_ab = g.m[:, None, :, None] * g.m[None, :, None, :]  # (n, n, S, S)
+    rho_ij = rho[:, None] * rho[None, :]  # (n, n)
+    w = rho_ij[:, :, None, None] * m_ab * eps_ab * sigma_ab[None, None, :, :]
+    rho1mix = jnp.sum(w)
+    rho2mix = jnp.sum(w * eps_ab)
+
+    m1 = (mmean - 1.0) / mmean
+    m2 = m1 * (mmean - 2.0) / mmean
+    I1 = jnp.dot(m2 * A2 + m1 * A1 + A0, etas)
+    I2 = jnp.dot(m2 * B2 + m1 * B1 + B0, etas)
+    C1 = 1.0 / (
+        1.0
+        + mmean * (8.0 * zeta3 - 2.0 * zeta3_2) * zeta3_m2 * zeta3_m2
+        + (1.0 - mmean)
+        * (20.0 * zeta3 - 27.0 * zeta3_2 + 12.0 * zeta3_2 * zeta3 - 2.0 * zeta3_2 * zeta3_2)
+        / ((1.0 - zeta3) * (1.0 - zeta3) * (2.0 - zeta3) * (2.0 - zeta3))
+    )
+    disp = (-rho1mix * 2.0 * I1 - rho2mix * C1 * I2 * mmean) * PI
+
+    phi = hs + hc + disp
+
+    # dipole on component-level mixed parameters
+    dipolar = jnp.any(g.mu2 > 0.0)
+    dip = phi_dipole(
+        g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2, temperature, rho, etas
+    )
+    phi = phi + jnp.where(dipolar, dip, 0.0)
+
+    # association regimes (reference feos_torch/gc_pcsaft.py:220-251)
+    n_assoc = jnp.count_nonzero(g.kappa_ab * g.epsilon_k_ab)
+    n_self = jnp.count_nonzero(g.na * g.nb)
+    self_m = (n_assoc == 1) & (n_self == 1)
+    cross_m = (n_assoc == 2) & (n_self == 2)
+    induced_m = (n_assoc == 2) & (n_self == 1)
+
+    phi = phi + jnp.where(
+        self_m, _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1), 0.0
+    )
+    phi = phi + jnp.where(
+        cross_m, _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1), 0.0
+    )
+    phi = phi + jnp.where(
+        induced_m,
+        _phi_induced_assoc(induced_m, g, temperature, rho, zeta2, zeta3_m1),
+        0.0,
+    )
+    return phi
+
+
+def _assoc_strength_gc(i, j, mask, g: GcParams, temperature, zeta2, zeta3_m1):
+    """gc association strength (reference feos_torch/gc_pcsaft.py:549-564):
+    the segment diameter is recomputed from the associating segment's own
+    sigma/epsilon_k."""
+    sigma = jnp.where(mask, g.sigma_assoc, 1.0)
+    epsk = g.epsilon_k_assoc
+    kappa = jnp.where(mask, g.kappa_ab, 1.0)
+    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsk / temperature))
+    k = d[i] * d[j] / (d[i] + d[j]) * zeta2 * zeta3_m1
+    sigma3_kappa = (sigma[i] * sigma[j]) ** 1.5 * jnp.sqrt(kappa[i] * kappa[j])
+    eps = 0.5 * (g.epsilon_k_ab[i] + g.epsilon_k_ab[j])
+    return (
+        zeta3_m1
+        * (k * (2.0 * k + 3.0) + 1.0)
+        * sigma3_kappa
+        * (jnp.exp(eps / temperature) - 1.0)
+    )
+
+
+def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+    """Single self-associating segment, closed form for nA = nB = 1
+    (reference feos_torch/gc_pcsaft.py:309-330)."""
+    sigma = jnp.where(mask, jnp.sum(g.sigma_assoc), 1.0)
+    epsk = jnp.sum(g.epsilon_k_assoc)
+    kappa = jnp.where(mask, jnp.sum(g.kappa_ab), 1.0)
+    eps_ab = jnp.sum(g.epsilon_k_ab)
+    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsk / temperature))
+    is_assoc = jnp.sign(g.kappa_ab * g.epsilon_k_ab)
+    rho_a = jnp.sum(is_assoc * rho)
+
+    k = d * 0.5 * zeta2 * zeta3_m1
+    delta = (
+        zeta3_m1
+        * (k * (2.0 * k + 3.0) + 1.0)
+        * sigma**3
+        * kappa
+        * (jnp.exp(eps_ab / temperature) - 1.0)
+    )
+    deltarho = delta * rho_a
+    xa = 2.0 / (jnp.sqrt(1.0 + 4.0 * deltarho) + 1.0)
+    return rho_a * (2.0 * jnp.log(xa) - xa + 1.0)
+
+
+def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+    """Two self-associating segments, nA = nB = 1 fixed point
+    (reference feos_torch/gc_pcsaft.py:333-380)."""
+
+    def delta_rho(i, j):
+        dd = _assoc_strength_gc(i, j, mask, g, temperature, zeta2, zeta3_m1)
+        return jnp.where(mask, dd * rho[j], 0.0)
+
+    d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
+    d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
+    xa0, xa1 = solve_cross_assoc_sym(d00, d01, d10, d11)
+    f = lambda x: 2.0 * jnp.log(x) - x + 1.0
+    return rho[0] * f(xa0) + rho[1] * f(xa1)
+
+
+def _phi_induced_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+    """One self-associating + one induced (nA = 0) segment
+    (reference feos_torch/gc_pcsaft.py:383-441)."""
+
+    def delta_rho(i, j):
+        dd = _assoc_strength_gc(i, j, mask, g, temperature, zeta2, zeta3_m1)
+        return jnp.where(mask, dd * rho[j], 0.0)
+
+    d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
+    d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
+    na0, na1 = g.na[0], g.na[1]
+    nb0, nb1 = g.nb[0], g.nb[1]
+    xa = solve_induced_assoc(d00, d01, d10, d11, na0, na1, nb0, nb1)
+    xb0 = 1.0 / (1.0 + xa * (na0 * d00 + na1 * d01))
+    xb1 = 1.0 / (1.0 + xa * (na0 * d10 + na1 * d11))
+    f = site_fraction_free_energy
+    return rho[0] * (f(xa) * na0 + f(xb0) * nb0) + rho[1] * (
+        f(xa) * na1 + f(xb1) * nb1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched API
+# ---------------------------------------------------------------------------
+
+
+def _vmap_gc(fn):
+    return jax.vmap(fn, in_axes=(_GC_BATCH_AXES, 0, 0))
+
+
+class GcPcSaftMix:
+    """Object facade mirroring reference ``GcPcSaftMix``
+    (feos_torch/gc_pcsaft.py:13).  Constructor signature matches the
+    reference: ``(segment_identifier, parameter, segment_lists, bond_lists,
+    binary_segment_records, phi=None)``."""
+
+    def __init__(
+        self,
+        segment_identifier,
+        parameter,
+        segment_lists,
+        bond_lists,
+        binary_segment_records,
+        phi=None,
+    ):
+        self.params = assemble(
+            segment_identifier, parameter, segment_lists, bond_lists,
+            binary_segment_records, phi,
+        )
+
+    def helmholtz_energy_density(self, temperature, density):
+        return _vmap_gc(phi_gc)(
+            self.params,
+            jnp.asarray(temperature, dtype=jnp.float64),
+            jnp.asarray(density, dtype=jnp.float64),
+        )
+
+    def derivatives(self, temperature, density):
+        def per_item(g, t, rho):
+            return pressure_set(lambda r: phi_gc(g, t, r), rho)
+
+        return _vmap_gc(per_item)(
+            self.params,
+            jnp.asarray(temperature, dtype=jnp.float64),
+            jnp.asarray(density, dtype=jnp.float64),
+        )
+
+    def _incipient(self, temperature, molefracs, pressure, bubble):
+        from ..solvers.vle import mix_vle
+
+        temperature = jnp.asarray(temperature, dtype=jnp.float64)
+        molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
+        pressure = jnp.asarray(pressure, dtype=jnp.float64)
+        p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+        stop = jax.lax.stop_gradient
+        g_stop = jax.tree_util.tree_map(stop, self.params)
+
+        def solve_item(g, t, x1, pr):
+            z = jnp.stack([x1, 1.0 - x1])
+            d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
+            m_eff_d3 = jnp.sum(z * (g.m @ (d**3)))
+            return mix_vle(
+                lambda r: phi_gc(g, t, r), z, pr, m_eff_d3, incipient_is_vapor=bubble
+            )
+
+        rho_inc, rho_bulk, ok = jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+            g_stop, stop(temperature), stop(molefracs), stop(p_red)
+        )
+        rho_inc = stop(rho_inc)
+        rho_bulk = stop(rho_bulk)
+
+        def attach(g, t, r_inc, r_bulk):
+            phi_fn = lambda r: phi_gc(g, t, r)
+            _, p_b, mu_b, v_b = pressure_set(phi_fn, r_bulk)
+            rho_inc_t = jnp.sum(r_inc)
+            w = r_inc / rho_inc_t
+            a_inc = phi_fn(r_inc) / rho_inc_t
+            v_bulk = jnp.sum(w * v_b)
+            g_bulk = jnp.sum(w * (jnp.log(r_inc / r_bulk) - mu_b))
+            return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
+
+        p_red_out = jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+            self.params, temperature, rho_inc, rho_bulk
+        )
+        pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
+        return jnp.where(ok, pressure_out, jnp.nan), ~ok
+
+    def bubble_point(self, temperature, liquid_molefracs, pressure):
+        """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490)."""
+        return self._incipient(temperature, liquid_molefracs, pressure, True)
+
+    def dew_point(self, temperature, vapor_molefracs, pressure):
+        """Batched dew-point pressure (reference feos_torch/gc_pcsaft.py:492-512)."""
+        return self._incipient(temperature, vapor_molefracs, pressure, False)

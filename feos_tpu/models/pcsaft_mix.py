@@ -1,0 +1,387 @@
+"""Binary-mixture PC-SAFT: Helmholtz energy density, derivatives, bubble/dew.
+
+TPU-native re-design of the reference's homosegmented mixture model
+(``feos_torch/pcsaft_mix.py``).  Structural differences:
+
+* per-item pure functions over a static component axis (n = 2), ``vmap``-ed
+  over the batch;
+* the dipolar and three association regimes are computed on *all* rows with
+  sanitized inputs and combined with ``jnp.where`` masks — static shapes —
+  instead of the reference's dynamic boolean row subsetting
+  (``phi[dipolar, :] +=``, feos_torch/pcsaft_mix.py:111-152; SURVEY.md 3.5);
+* the full derivative set (A, p~, mu_i, v_i) comes from forward-over-reverse
+  AD (:func:`feos_tpu.ops.derivatives.pressure_set`) instead of the
+  hand-rolled ``DualTensor`` (feos_torch/dual_torch.py:4);
+* the association inner fixed points are solved under ``stop_gradient``
+  with exact derivative re-attachment (:mod:`feos_tpu.ops.association`)
+  instead of backpropagating through 50 unrolled damped Newton iterations
+  (feos_torch/pcsaft_mix.py:271-311);
+* bubble/dew solvers are batched JAX Newton iterations
+  (:func:`feos_tpu.solvers.vle.mix_vle`) replacing the Rust backend
+  (src/pcsaft.rs:150-214), with gradients re-attached through the
+  stationary mixture identity (feos_torch/pcsaft_mix.py:435-443).
+
+Parameter layout per component: ``[m, sigma, epsilon_k, mu, kappa_ab,
+epsilon_k_ab, na, nb]``; binary interaction ``kij = [k_ij, epsilon_k_AiBj]``
+(reference feos_torch/pcsaft_mix.py:13-29, src/pcsaft.rs:163).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import A0, A1, A2, B0, B1, B2
+from ..ops.association import solve_cross_assoc, solve_induced_assoc
+from ..ops.derivatives import pressure_set
+from ..units import MU2_FACTOR, PA_PER_KT_TO_REDUCED, REDUCED_TO_PA_PER_KT
+from .common import association_strength, phi_dipole, site_fraction_free_energy
+
+PI = np.pi
+
+
+class MixParams(NamedTuple):
+    """Per-item mixture parameters; each field has shape (n,)."""
+
+    m: jnp.ndarray
+    sigma: jnp.ndarray
+    epsilon_k: jnp.ndarray
+    mu: jnp.ndarray
+    kappa_ab: jnp.ndarray
+    epsilon_k_ab: jnp.ndarray
+    na: jnp.ndarray
+    nb: jnp.ndarray
+
+    @classmethod
+    def from_array(cls, parameters):
+        parameters = jnp.asarray(parameters, dtype=jnp.float64)
+        return cls(*[parameters[..., i] for i in range(8)])
+
+
+def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density):
+    """Reduced residual Helmholtz energy density of an n-component mixture.
+
+    Per-item scalar function (``density`` has shape (n,)); semantics match
+    reference feos_torch/pcsaft_mix.py:31-154 (golden-value tested).
+    """
+    m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
+    rho = density
+    n = m.shape[0]
+
+    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
+
+    zeta0 = PI / 6.0 * jnp.sum(m * rho)
+    zeta1 = PI / 6.0 * jnp.sum(m * rho * d)
+    zeta2 = PI / 6.0 * jnp.sum(m * rho * d * d)
+    zeta3 = PI / 6.0 * jnp.sum(m * rho * d * d * d)
+
+    zeta23 = zeta2 / zeta3
+    zeta3_2 = zeta3 * zeta3
+    zeta3_3 = zeta3_2 * zeta3
+    zeta3_m1 = 1.0 / (1.0 - zeta3)
+    zeta3_m2 = zeta3_m1 * zeta3_m1
+    etas = jnp.stack([jnp.ones_like(zeta3), zeta3, zeta3_2, zeta3_3,
+                      zeta3_2 * zeta3_2, zeta3_2 * zeta3_3, zeta3_3 * zeta3_3])
+
+    # hard sphere (Boublik-Mansoori zeta form)
+    hs = (6.0 / PI) * (
+        zeta1 * zeta2 * zeta3_m1 * 3.0
+        + zeta2 * zeta2 * zeta3_m2 * zeta23
+        + (zeta2 * zeta23 * zeta23 - zeta0) * jnp.log(1.0 - zeta3)
+    )
+
+    # hard chain
+    c = zeta2 * zeta3_m2
+    g = zeta3_m1 + d * c * 1.5 - d * d * c * c * (zeta3 - 1.0) * 0.5
+    hc = -jnp.sum(rho * (m - 1.0) * jnp.log(g))
+
+    # dispersion with quadratic combining rules and kij
+    x = rho / jnp.sum(rho)
+    mmean = jnp.sum(x * m)
+    rho1mix = 0.0
+    rho2mix = 0.0
+    for i in range(n):
+        for j in range(n):
+            eps_ij = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
+            if i != j:
+                eps_ij = eps_ij * (1.0 - kij)
+            sigma_ij = (0.5 * (sigma[i] + sigma[j])) ** 3
+            rhoij = rho[i] * rho[j] * (m[i] * m[j] * eps_ij * sigma_ij)
+            rho1mix = rho1mix + rhoij
+            rho2mix = rho2mix + rhoij * eps_ij
+
+    m1 = (mmean - 1.0) / mmean
+    m2 = m1 * (mmean - 2.0) / mmean
+    I1 = jnp.dot(m2 * A2 + m1 * A1 + A0, etas)
+    I2 = jnp.dot(m2 * B2 + m1 * B1 + B0, etas)
+    C1 = 1.0 / (
+        1.0
+        + mmean * (8.0 * zeta3 - 2.0 * zeta3_2) * zeta3_m2 * zeta3_m2
+        + (1.0 - mmean)
+        * (20.0 * zeta3 - 27.0 * zeta3_2 + 12.0 * zeta3_2 * zeta3 - 2.0 * zeta3_2 * zeta3_2)
+        / ((1.0 - zeta3) * (1.0 - zeta3) * (2.0 - zeta3) * (2.0 - zeta3))
+    )
+    disp = (-rho1mix * 2.0 * I1 - rho2mix * C1 * I2 * mmean) * PI
+
+    phi = hs + hc + disp
+
+    # dipole (masked lanes instead of row subsetting)
+    mu2 = p.mu**2 / (m * sigma**3 * epsilon_k) * MU2_FACTOR
+    dipolar = jnp.any(mu2 > 0.0)
+    mu2_scaled = sigma**3 * epsilon_k * mu2
+    dip = phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas)
+    phi = phi + jnp.where(dipolar, dip, 0.0)
+
+    # association regime dispatch (reference feos_torch/pcsaft_mix.py:117-152)
+    n_assoc = jnp.count_nonzero(p.na + p.nb)
+    n_self = jnp.count_nonzero(p.na * p.nb)
+    self_m = (n_assoc == 1) & (n_self == 1)
+    cross_m = (n_assoc == 2) & (n_self == 2)
+    induced_m = (n_assoc == 2) & (n_self == 1)
+
+    phi = phi + jnp.where(
+        self_m,
+        _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1),
+        0.0,
+    )
+    phi = phi + jnp.where(
+        cross_m,
+        _phi_cross_assoc(
+            cross_m, p, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj
+        ),
+        0.0,
+    )
+    phi = phi + jnp.where(
+        induced_m,
+        _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2, zeta3_m1),
+        0.0,
+    )
+    return phi
+
+
+def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1):
+    """Single self-associating component, closed form
+    (reference feos_torch/pcsaft_mix.py:210-239)."""
+    kappa = jnp.sum(p.kappa_ab)
+    eps_ab = jnp.sum(p.epsilon_k_ab)
+    na_sum = jnp.where(mask, jnp.sum(p.na), 1.0)
+    sigma_a = jnp.sum(p.na * p.sigma) / na_sum
+    d_a = jnp.sum(p.na * d) / na_sum
+    kappa = jnp.where(mask, kappa, 1.0)
+    sigma_a = jnp.where(mask, sigma_a, 1.0)
+    d_a = jnp.where(mask, d_a, 1.0)
+
+    k = d_a * 0.5 * zeta2 * zeta3_m1
+    delta = (
+        zeta3_m1
+        * (k * (2.0 * k + 3.0) + 1.0)
+        * sigma_a**3
+        * kappa
+        * (jnp.exp(eps_ab / temperature) - 1.0)
+    )
+    rhoa = jnp.sum(p.na * rho)
+    rhob = jnp.sum(p.nb * rho)
+    aux = 1.0 + (rhoa - rhob) * delta
+    sqrt = jnp.sqrt(aux * aux + 4.0 * rhob * delta)
+    xa = 2.0 / (sqrt + 1.0 + (rhob - rhoa) * delta)
+    xb = 2.0 / (sqrt + 1.0 + (rhoa - rhob) * delta)
+    f = site_fraction_free_energy
+    return rhoa * f(xa) + rhob * f(xb)
+
+
+def _phi_cross_assoc(
+    mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj
+):
+    """Two self-associating components, 2-unknown fixed point
+    (reference feos_torch/pcsaft_mix.py:241-321)."""
+    kappa = jnp.where(mask, p.kappa_ab, 1.0)
+    sigma = p.sigma
+
+    def delta(i, j):
+        dd = association_strength(
+            i, j, temperature, sigma, kappa, p.epsilon_k_ab, d, zeta2, zeta3_m1,
+            epsilon_k_aibj=epsilon_k_aibj,
+        )
+        return jnp.where(mask, dd, 0.0)
+
+    d00, d01, d10, d11 = delta(0, 0), delta(0, 1), delta(1, 0), delta(1, 1)
+    rhoa = rho * p.na
+    rhob = rho * p.nb
+    xa0, xa1 = solve_cross_assoc(
+        d00, d01, d10, d11, rhoa[0], rhoa[1], rhob[0], rhob[1]
+    )
+    xb0 = 1.0 / (1.0 + xa0 * rhoa[0] * d00 + xa1 * rhoa[1] * d01)
+    xb1 = 1.0 / (1.0 + xa0 * rhoa[0] * d10 + xa1 * rhoa[1] * d11)
+    f = site_fraction_free_energy
+    return rhoa[0] * f(xa0) + rhoa[1] * f(xa1) + rhob[0] * f(xb0) + rhob[1] * f(xb1)
+
+
+def _phi_induced_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1):
+    """One self-associating + one induced (nA = 0) component
+    (reference feos_torch/pcsaft_mix.py:324-393)."""
+    kappa = jnp.where(mask, p.kappa_ab, 1.0)
+
+    def delta_rho(i, j):
+        dd = association_strength(
+            i, j, temperature, p.sigma, kappa, p.epsilon_k_ab, d, zeta2, zeta3_m1
+        )
+        return jnp.where(mask, dd * rho[j], 0.0)
+
+    d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
+    d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
+    na0, na1 = p.na[0], p.na[1]
+    nb0, nb1 = p.nb[0], p.nb[1]
+    xa = solve_induced_assoc(d00, d01, d10, d11, na0, na1, nb0, nb1)
+    xb0 = 1.0 / (1.0 + xa * (na0 * d00 + na1 * d01))
+    xb1 = 1.0 / (1.0 + xa * (na0 * d10 + na1 * d11))
+    f = site_fraction_free_energy
+    return rho[0] * (f(xa) * na0 + f(xb0) * nb0) + rho[1] * (
+        f(xa) * na1 + f(xb1) * nb1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched API
+# ---------------------------------------------------------------------------
+
+
+def _split_kij(kij, batch_shape):
+    if kij is None:
+        z = jnp.zeros(batch_shape, dtype=jnp.float64)
+        return z, z
+    kij = jnp.asarray(kij, dtype=jnp.float64)
+    return kij[..., 0], kij[..., 1]
+
+
+def helmholtz_energy_density(parameters, kij, temperature, density):
+    """Batched phi (reference ``PcSaftMix.helmholtz_energy_density``)."""
+    p = MixParams.from_array(parameters)
+    k, e = _split_kij(kij, jnp.shape(parameters)[0])
+    return jax.vmap(phi_mix)(
+        p, k, e,
+        jnp.asarray(temperature, dtype=jnp.float64),
+        jnp.asarray(density, dtype=jnp.float64),
+    )
+
+
+def derivatives(parameters, kij, temperature, density):
+    """Batched (A, p~, mu_i, v_i) (reference feos_torch/pcsaft_mix.py:395-420)."""
+    p = MixParams.from_array(parameters)
+    k, e = _split_kij(kij, jnp.shape(parameters)[0])
+
+    def per_item(pi, ki, ei, t, rho):
+        return pressure_set(lambda r: phi_mix(pi, ki, ei, t, r), rho)
+
+    return jax.vmap(per_item)(
+        p, k, e,
+        jnp.asarray(temperature, dtype=jnp.float64),
+        jnp.asarray(density, dtype=jnp.float64),
+    )
+
+
+def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubble):
+    """Shared bubble/dew implementation with stationary re-attachment.
+
+    Solve (stop-gradient) for the coexisting partial densities, then
+    evaluate the stationary pressure identity
+    (reference feos_torch/pcsaft_mix.py:435-443 and :459-467):
+
+        p~ = -(a_bulk' + p~_bulk v_bulk + g_bulk - 1) / (1/rho_inc - v_bulk)
+
+    where 'bulk' is the phase with known composition (liquid for bubble,
+    vapor for dew) and 'inc' the incipient phase.
+    """
+    from ..solvers.vle import mix_vle
+
+    p = MixParams.from_array(parameters)
+    kv, ev = _split_kij(kij, jnp.shape(parameters)[0])
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
+    pressure = jnp.asarray(pressure, dtype=jnp.float64)
+    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+
+    def solve_item(pi, ki, ei, t, x1, pr):
+        z = jnp.stack([x1, 1.0 - x1])
+        d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
+        m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        return mix_vle(
+            lambda r: phi_mix(pi, ki, ei, t, r), z, pr, m_eff_d3,
+            incipient_is_vapor=bubble,
+        )
+
+    stop = jax.lax.stop_gradient
+    rho_inc, rho_bulk, ok = jax.vmap(solve_item)(
+        jax.tree_util.tree_map(stop, p), stop(kv), stop(ev),
+        stop(temperature), stop(molefracs), stop(p_red),
+    )
+    rho_inc = stop(rho_inc)
+    rho_bulk = stop(rho_bulk)
+
+    def attach(pi, ki, ei, t, r_inc, r_bulk):
+        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
+        _, p_b, mu_b, v_b = pressure_set(phi_fn, r_bulk)
+        rho_inc_t = jnp.sum(r_inc)
+        w = r_inc / rho_inc_t
+        a_inc = phi_fn(r_inc) / rho_inc_t
+        v_bulk = jnp.sum(w * v_b)
+        g_bulk = jnp.sum(w * (jnp.log(r_inc / r_bulk) - mu_b))
+        return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
+
+    p_red_out = jax.vmap(attach)(p, kv, ev, temperature, rho_inc, rho_bulk)
+    pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok
+
+
+def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure):
+    """Batched bubble-point pressure (Pa) with parameter gradients.
+
+    Replaces reference ``PcSaftMix.bubble_point``
+    (feos_torch/pcsaft_mix.py:422-444 + src/pcsaft.rs:150-181).
+    Returns ``(p, nans)`` in the reference's order.
+    """
+    return _incipient_property(
+        parameters, kij, temperature, liquid_molefracs, pressure, bubble=True
+    )
+
+
+def dew_point(parameters, kij, temperature, vapor_molefracs, pressure):
+    """Batched dew-point pressure (Pa); reference feos_torch/pcsaft_mix.py:446-468."""
+    return _incipient_property(
+        parameters, kij, temperature, vapor_molefracs, pressure, bubble=False
+    )
+
+
+class PcSaftMix:
+    """Object facade mirroring reference ``PcSaftMix`` (feos_torch/pcsaft_mix.py:12).
+
+    ``kij`` is an optional (B, 2) array ``[k_ij, epsilon_k_AiBj]``.  Only
+    binary mixtures are supported (as in the reference,
+    feos_torch/pcsaft_mix.py:74-75).
+    """
+
+    def __init__(self, parameters, kij=None):
+        self.parameters = jnp.asarray(parameters, dtype=jnp.float64)
+        if self.parameters.shape[1] != 2 and kij is not None:
+            raise ValueError("kij can only be used for binary mixtures!")
+        self.kij = None if kij is None else jnp.asarray(kij, dtype=jnp.float64)
+
+    def helmholtz_energy_density(self, temperature, density):
+        return helmholtz_energy_density(
+            self.parameters, self.kij, temperature, density
+        )
+
+    def derivatives(self, temperature, density):
+        return derivatives(self.parameters, self.kij, temperature, density)
+
+    def bubble_point(self, temperature, liquid_molefracs, pressure):
+        return bubble_point(
+            self.parameters, self.kij, temperature, liquid_molefracs, pressure
+        )
+
+    def dew_point(self, temperature, vapor_molefracs, pressure):
+        return dew_point(
+            self.parameters, self.kij, temperature, vapor_molefracs, pressure
+        )

@@ -1,0 +1,536 @@
+"""Batched gradient-free VLE and density solvers (pure JAX, TPU-native).
+
+These replace the reference's native Rust solver backend
+(src/pcsaft.rs:82-231 and the `feos` crate algorithms behind it:
+``State::new_npt``, ``PhaseEquilibrium::pure/bubble_point/dew_point``).
+Design (SURVEY.md section 7):
+
+* per-item Newton iterations written as ``lax.while_loop`` with static
+  shapes, then ``jax.vmap``-ed over the batch — the TPU equivalent of the
+  reference's rayon ``par_map_collect`` row parallelism (src/pcsaft.rs:88);
+* all thermodynamic states needed by one iteration (vapor + liquid, or the
+  several initialization branches) are **stacked and evaluated through one
+  batched phi graph** — this keeps the XLA program small (one Helmholtz
+  graph instance per loop body instead of one per state per derivative
+  direction), which is what makes these nested-Newton programs compile in
+  seconds instead of minutes;
+* rows that converge early are frozen in place (masked updates) while the
+  remaining rows iterate — batch-synchronized iteration;
+* convergence is accepted on *residual* magnitude, not step size, so the
+  solver behaves identically under exact f64 (CPU) and the TPU's
+  emulated-f64 arithmetic;
+* failures are reported as a boolean ``ok`` flag per row, never exceptions
+  (the reference's ``.ok()`` -> mask protocol, src/pcsaft.rs:91-94);
+* everything runs under ``stop_gradient`` — parameter gradients are
+  re-attached outside through stationary thermodynamic identities
+  (see feos_tpu.models.*), so these loops are never differentiated.
+  Residual-level state errors of ~1e-9 induce only ~1e-18 relative
+  property errors (the identities are stationary).
+
+All quantities are in reduced units: densities in A^-3, reduced pressure
+p~ = p A^3/(kB T), reduced chemical potential mu~ = mu/(kB T).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.pcsaft_pure import PureParams, phi_pure
+from ..ops.derivatives import value_and_2derivs
+
+PI = np.pi
+
+_MAX_NPT_ITER = 100
+_MAX_VLE_ITER = 150
+_STEP_TOL = 1e-13
+# Residual acceptance sits well above the f64 cancellation-noise floor of
+# p~ = rho - phi + rho*phi' (~1e-9 on the vapor-density scale) but far below
+# any genuinely unconverged state; the stationary re-attachment identities
+# make resulting property errors O(residual^2).
+_RES_RTOL = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Pure-component solvers
+# ---------------------------------------------------------------------------
+
+
+def _eos_pure_multi(p: PureParams, temperature, rho):
+    """(p~, dp~/drho, mu~_tot, dmu~/drho) for a vector of densities (k,).
+
+    One batched (phi, phi', phi'') graph serves all k states.
+    """
+    val, d1, d2 = jax.vmap(
+        lambda r: value_and_2derivs(lambda rr: phi_pure(p, temperature, rr), r)
+    )(rho)
+    ptilde = rho - val + rho * d1
+    dptilde = 1.0 + rho * d2
+    mu = d1 + jnp.log(rho)
+    dmu = d2 + 1.0 / rho
+    return ptilde, dptilde, mu, dmu
+
+
+def _eos_pure(p: PureParams, temperature, rho):
+    """(p~, dp~/drho, mu~_tot, dmu~/drho) at a scalar density."""
+    val, d1, d2 = value_and_2derivs(lambda r: phi_pure(p, temperature, r), rho)
+    ptilde = rho - val + rho * d1
+    dptilde = 1.0 + rho * d2
+    mu = d1 + jnp.log(rho)
+    dmu = d2 + 1.0 / rho
+    return ptilde, dptilde, mu, dmu
+
+
+def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
+    """Solve k independent pure NPT problems p~(rho_k) = p_target_k in one loop.
+
+    ``branch_sign`` is +1 for liquid-branch solves and -1 for vapor-branch
+    solves; inside the mechanically unstable region (dp~/drho <= 0) the
+    iterate walks toward the requested branch.  Replaces the feos crate's
+    ``State::new_npt`` (reference src/pcsaft.rs:105-129).
+
+    Returns ``(rho (k,), ok (k,))`` with residual-based acceptance.
+    """
+    k = p_targets.shape[0]
+
+    def cond(state):
+        _, it, done = state
+        return jnp.any(~done) & (it < _MAX_NPT_ITER)
+
+    def body(state):
+        lr, it, done = state
+        rho = jnp.exp(lr)
+        ptilde, dptilde, _, _ = _eos_pure_multi(p, temperature, rho)
+        r = ptilde - p_targets
+        dr = rho * dptilde  # d p~ / d ln rho
+        newton = r / jnp.where(dr > 0.0, dr, 1.0)
+        step = jnp.where(dr > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
+        converged = (jnp.abs(newton) < _STEP_TOL) & (dr > 0.0)
+        lr_new = jnp.where(done, lr, lr - step)
+        return lr_new, it + 1, done | converged
+
+    lr0 = jnp.log(rho0)
+    lr, _, _ = jax.lax.while_loop(cond, body, (lr0, 0, jnp.zeros(k, dtype=bool)))
+    rho = jnp.exp(lr)
+    ptilde, dptilde, _, _ = _eos_pure_multi(p, temperature, rho)
+    resid = jnp.abs(ptilde - p_targets) / jnp.abs(
+        rho * jnp.where(dptilde > 0.0, dptilde, 1.0)
+    )
+    ok = jnp.isfinite(rho) & (dptilde > 0.0) & (resid < _RES_RTOL)
+    return rho, ok
+
+
+def npt_density(p: PureParams, temperature, p_target, liquid: bool = True):
+    """Single-branch pure NPT solve; see ``_npt_multi_pure``.
+
+    Liquid branch initializes at packing fraction eta = 0.5, vapor branch at
+    the ideal-gas density (p~ = rho).
+    """
+    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
+    eta_factor = PI / 6.0 * p.m * d**3
+    if liquid:
+        rho0 = 0.5 / eta_factor
+        sign = 1.0
+    else:
+        rho0 = jnp.maximum(p_target, 1e-300)
+        sign = -1.0
+    rho, ok = _npt_multi_pure(
+        p,
+        temperature,
+        p_target[None],
+        rho0[None],
+        jnp.full((1,), sign),
+    )
+    eta = eta_factor * rho[0]
+    return rho[0], ok[0] & (eta < 0.7)
+
+
+# Static packing-fraction grid used to bracket the unstable region for the
+# near-critical initialization (see ``_spinodal_estimate``).
+_ETA_GRID = np.concatenate(
+    [np.geomspace(1e-4, 0.01, 8, endpoint=False), np.linspace(0.01, 0.55, 40)]
+)
+
+
+def _spinodal_estimate(p: PureParams, temperature):
+    """Grid-scan estimate of the inflection state of p~(rho).
+
+    Evaluates dp~/drho on a static packing-fraction grid and returns
+    ``(p_inf, supercritical)`` where ``p_inf`` is the reduced pressure at
+    the minimum of dp~/drho (which lies strictly between the two spinodal
+    pressures whenever a van-der-Waals loop exists) and ``supercritical``
+    flags min dp~/drho > 0 (no loop, no VLE).  The feos crate hides its
+    equivalent initialization inside ``PhaseEquilibrium::pure``
+    (src/pcsaft.rs:91); this grid scan is the fixed-shape TPU analogue.
+    """
+    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
+    eta_factor = PI / 6.0 * p.m * d**3
+    rhos = jnp.asarray(_ETA_GRID) / eta_factor
+    ptildes, dptildes, _, _ = _eos_pure_multi(p, temperature, rhos)
+    i_min = jnp.argmin(dptildes)
+    supercritical = dptildes[i_min] > 0.0
+    p_inf = jnp.maximum(ptildes[i_min], 1e-12)
+    return p_inf, supercritical
+
+
+def pure_vle(p: PureParams, temperature):
+    """Pure-component vapor-liquid equilibrium at temperature T.
+
+    Replaces ``PhaseEquilibrium::pure`` behind reference src/pcsaft.rs:91.
+    Equilibrium conditions: p~(rho_V) = p~(rho_L) and mu~(rho_V) = mu~(rho_L)
+    solved by a damped 2x2 Newton iteration in (ln rho_V, ln rho_L).
+
+    Initialization (two regimes, selected per row, fixed shapes):
+
+    * deep subcritical: the liquid density at vanishing pressure gives a
+      saturation-pressure estimate via the ideal-vapor identity
+      ln p~0 = mu~_tot(rho_L);
+    * near critical (no liquid root at vanishing pressure): both phases
+      start from NPT solves at the inflection pressure of the van-der-Waals
+      loop (``_spinodal_estimate``).
+
+    Returns ``(rho_v, rho_l, ok)``; supercritical rows are masked.
+    """
+    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
+    eta_factor = PI / 6.0 * p.m * d**3
+    p_inf, supercritical = _spinodal_estimate(p, temperature)
+
+    # lane 0: liquid at vanishing pressure; lane 1: liquid at p_inf
+    rho_init, ok_init = _npt_multi_pure(
+        p,
+        temperature,
+        jnp.stack([jnp.asarray(1e-10, dtype=p_inf.dtype), p_inf]),
+        jnp.stack([0.5 / eta_factor, 0.5 / eta_factor]),
+        jnp.array([1.0, 1.0]),
+    )
+    ok_tiny = ok_init[0] & (eta_factor * rho_init[0] < 0.7)
+    rho_l0 = jnp.where(ok_tiny, rho_init[0], rho_init[1])
+    ok_l = ok_tiny | ok_init[1]
+
+    _, _, mu_l0, _ = _eos_pure(p, temperature, rho_l0)
+    p_mu = jnp.exp(jnp.clip(mu_l0, -700.0, 700.0))
+    p0 = jnp.where(ok_tiny, p_mu, p_inf)
+
+    rho_v0, ok_v = _npt_multi_pure(
+        p, temperature, p0[None], jnp.maximum(p0, 1e-300)[None], jnp.full((1,), -1.0)
+    )
+    rho_v0 = jnp.where(ok_v[0], rho_v0[0], p0)
+
+    def cond(state):
+        _, it, done = state
+        return (~done) & (it < _MAX_VLE_ITER)
+
+    def body(state):
+        lvl, it, done = state
+        rho = jnp.exp(lvl)  # (2,) = [rho_V, rho_L]
+        pt, dpt, mu, dmu = _eos_pure_multi(p, temperature, rho)
+        r1 = pt[0] - pt[1]
+        r2 = mu[0] - mu[1]
+        j00 = rho[0] * dpt[0]
+        j01 = -rho[1] * dpt[1]
+        j10 = rho[0] * dmu[0]
+        j11 = -rho[1] * dmu[1]
+        det = j00 * j11 - j01 * j10
+        det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+        dv = (j11 * r1 - j01 * r2) / det
+        dl = (-j10 * r1 + j00 * r2) / det
+        converged = (jnp.abs(dv) + jnp.abs(dl)) < _STEP_TOL
+        step = jnp.clip(jnp.stack([dv, dl]), -0.2, 0.2)
+        lvl_new = jnp.where(done, lvl, lvl - step)
+        return lvl_new, it + 1, done | converged
+
+    lvl0 = jnp.log(jnp.stack([rho_v0, rho_l0]))
+    lvl, _, _ = jax.lax.while_loop(cond, body, (lvl0, 0, jnp.array(False)))
+    rho = jnp.exp(lvl)
+    rho_v, rho_l = rho[0], rho[1]
+
+    # residual-based acceptance; the pressure tolerance carries an absolute
+    # allowance for the f64 cancellation noise of the *liquid* pressure
+    # (terms of magnitude ~rho_l*dp_l), which dominates when the vapor
+    # pressure itself is many orders smaller (strong association at low T)
+    pt, dpt, mu, _ = _eos_pure_multi(p, temperature, rho)
+    p_noise = 1e-13 * jnp.abs(rho_l * dpt[1])
+    res_p_ok = jnp.abs(pt[0] - pt[1]) < (
+        _RES_RTOL * jnp.abs(rho_v * dpt[0]) + p_noise
+    )
+    res_mu = jnp.abs(mu[0] - mu[1])
+    ok = (
+        ok_l
+        & (~supercritical)
+        & jnp.all(jnp.isfinite(rho))
+        & res_p_ok
+        & (res_mu < 1e-7)
+        & (rho_l > rho_v * (1.0 + 1e-6))
+        & jnp.all(dpt > 0.0)
+    )
+    return rho_v, rho_l, ok
+
+
+# ---------------------------------------------------------------------------
+# Mixture solvers (generic over the Helmholtz-energy-density closure)
+# ---------------------------------------------------------------------------
+
+
+def _states_eos(phi_fn, R):
+    """(p~ (k,), mu~_res (k,n)) for k stacked states.
+
+    Forward-mode only (vmapped jvp over component directions): reverse-mode
+    through the association machinery generates HLO that XLA:CPU compiles
+    pathologically slowly, while the forward-only graph is both smaller and
+    ~3x faster to compile at equal accuracy.
+    """
+    n = R.shape[1]
+    eye = jnp.eye(n, dtype=R.dtype)
+
+    def one_state(rho):
+        vals, tangs = jax.vmap(lambda v: jax.jvp(phi_fn, (rho,), (v,)))(eye)
+        return vals[0], tangs
+
+    phis, gs = jax.vmap(one_state)(R)
+    ptildes = jnp.sum(R, axis=1) + jnp.sum(R * gs, axis=1) - phis
+    return ptildes, gs
+
+
+def _val_and_jac(f, u):
+    """Value and Jacobian of f: R^k -> R^k via one vmapped jvp graph."""
+    k = u.shape[0]
+    eye = jnp.eye(k, dtype=u.dtype)
+    vals, cols = jax.vmap(lambda v: jax.jvp(f, (u,), (v,)))(eye)
+    return vals[0], cols.T
+
+
+def _solve3(J, r):
+    """Cramer solve of a 3x3 system (avoids LU custom calls inside loops)."""
+    c00 = J[1, 1] * J[2, 2] - J[1, 2] * J[2, 1]
+    c01 = J[1, 2] * J[2, 0] - J[1, 0] * J[2, 2]
+    c02 = J[1, 0] * J[2, 1] - J[1, 1] * J[2, 0]
+    det = J[0, 0] * c00 + J[0, 1] * c01 + J[0, 2] * c02
+    det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    x0 = (
+        r[0] * c00
+        + r[1] * (J[0, 2] * J[2, 1] - J[0, 1] * J[2, 2])
+        + r[2] * (J[0, 1] * J[1, 2] - J[0, 2] * J[1, 1])
+    )
+    x1 = (
+        r[0] * c01
+        + r[1] * (J[0, 0] * J[2, 2] - J[0, 2] * J[2, 0])
+        + r[2] * (J[0, 2] * J[1, 0] - J[0, 0] * J[1, 2])
+    )
+    x2 = (
+        r[0] * c02
+        + r[1] * (J[0, 1] * J[2, 0] - J[0, 0] * J[2, 1])
+        + r[2] * (J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0])
+    )
+    return jnp.stack([x0, x1, x2]) / det
+
+
+_N_SS_WARMUP = 8
+_MAX_MIX_ITER = 80
+
+
+def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
+    """Bubble/dew-point solve for an n-component mixture (per item).
+
+    Bulk phase has known mole fractions ``z`` (liquid for bubble, vapor for
+    dew); unknowns are the incipient-phase partial densities and the bulk
+    total density, iterated on in log space:
+
+        R_i = mu~_i(incipient) - mu~_i(bulk)   (i = 1..n, total chem. pot.)
+        R_p = p~(incipient) - p~(bulk)
+
+    Initialization from NPT solves at the caller-provided pressure estimate
+    ``p0`` (the reference forwards the same estimate to the feos crate,
+    src/pcsaft.rs:170), followed by successive-substitution warmup on the
+    incipient fugacities and a damped full Newton finish.  ``m_eff_d3`` is
+    sum_i z_i m_i d_i^3, used for the eta = 0.5 liquid initialization.
+    Replaces ``PhaseEquilibrium::bubble_point/dew_point``
+    (src/pcsaft.rs:150-214).
+
+    Returns ``(rho_incipient (n,), rho_bulk (n,), ok)``.
+    """
+    n = z.shape[0]
+    eta_factor = PI / 6.0 * m_eff_d3
+
+    # The caller's pressure estimate may lie far outside the two-phase
+    # region (e.g. 1 bar when the dew pressure is ~1e3 Pa): cap it at half
+    # the vapor-spinodal pressure of the bulk composition, estimated from a
+    # static packing-fraction scan (the feos crate adapts its pressure
+    # internally inside PhaseEquilibrium; this is the fixed-shape analogue).
+    rho_grid = jnp.asarray(_ETA_GRID) / eta_factor
+
+    def p_grid_fn(lr):
+        R = z[None, :] * jnp.exp(lr)[:, None]
+        pt, _ = _states_eos(phi_fn, R)
+        return pt
+
+    pt_grid, dpt_grid = jax.jvp(
+        p_grid_fn, (jnp.log(rho_grid),), (jnp.ones_like(rho_grid),)
+    )
+    unstable = dpt_grid <= 0.0
+    unstable_seen = jnp.cumsum(unstable.astype(pt_grid.dtype)) > 0.0
+    p_sv = jnp.max(jnp.where(unstable_seen, -jnp.inf, pt_grid))
+    has_loop = jnp.any(unstable)
+    p0 = jnp.where(has_loop, jnp.minimum(p0, 0.5 * p_sv), p0)
+    p0 = jnp.maximum(p0, 1e-300)
+
+    # branch-limit densities from the same scan: the largest stable-vapor
+    # grid density (below the first unstable point) and the smallest
+    # stable-liquid grid density (above the last unstable point); used to
+    # project Newton iterates back onto their phase branch.
+    k_grid = rho_grid.shape[0]
+    idx = jnp.arange(k_grid)
+    first_u = jnp.min(jnp.where(unstable, idx, k_grid))
+    last_u = jnp.max(jnp.where(unstable, idx, -1))
+    ln_rho_sv = jnp.where(
+        has_loop, jnp.log(rho_grid)[jnp.maximum(first_u - 1, 0)], jnp.inf
+    )
+    ln_rho_sl = jnp.where(
+        has_loop, jnp.log(rho_grid)[jnp.minimum(last_u + 1, k_grid - 1)], -jnp.inf
+    )
+    if incipient_is_vapor:
+        ln_bulk_min, ln_bulk_max = ln_rho_sl, jnp.inf
+        ln_inc_min, ln_inc_max = -jnp.inf, ln_rho_sv
+    else:
+        ln_bulk_min, ln_bulk_max = -jnp.inf, ln_rho_sv
+        ln_inc_min, ln_inc_max = ln_rho_sl, jnp.inf
+
+    rho_liq_init = 0.5 / eta_factor
+    rho_vap_init = p0
+
+    # Solve both branch NPT problems in one loop: lane 0 = liquid, lane 1 = vapor.
+    def npt_p(lr):
+        R = z[None, :] * jnp.exp(lr)[:, None]
+        pt, _ = _states_eos(phi_fn, R)
+        return pt
+
+    def npt_cond(state):
+        _, it, done = state
+        return jnp.any(~done) & (it < _MAX_NPT_ITER)
+
+    branch_sign = jnp.array([1.0, -1.0])
+
+    def npt_body(state):
+        lr, it, done = state
+        pt, dpt = jax.jvp(npt_p, (lr,), (jnp.ones_like(lr),))
+        r = pt - p0
+        newton = r / jnp.where(dpt > 0.0, dpt, 1.0)
+        step = jnp.where(dpt > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
+        converged = (jnp.abs(newton) < _STEP_TOL) & (dpt > 0.0)
+        lr_new = jnp.where(done, lr, lr - step)
+        return lr_new, it + 1, done | converged
+
+    lr0 = jnp.log(jnp.stack([rho_liq_init, rho_vap_init]))
+    lr, _, _ = jax.lax.while_loop(
+        npt_cond, npt_body, (lr0, 0, jnp.zeros(2, dtype=bool))
+    )
+    pt_f, dpt_f = jax.jvp(npt_p, (lr,), (jnp.ones_like(lr),))
+    npt_ok = (dpt_f > 0.0) & (
+        jnp.abs(pt_f - p0) / jnp.where(dpt_f > 0.0, dpt_f, 1.0) < _RES_RTOL
+    )
+
+    i_bulk = 0 if incipient_is_vapor else 1
+    i_inc = 1 - i_bulk
+    rho_bulk_t0 = jnp.exp(lr[i_bulk])
+    rho_inc_t0 = jnp.exp(lr[i_inc])
+    ok_bulk = npt_ok[i_bulk]
+    rho_bulk = z * rho_bulk_t0
+    ln_inc = jnp.log(z * rho_inc_t0)
+
+    # successive-substitution warmup on the incipient fugacities,
+    # alternating with a bulk-pressure re-estimate (outer rounds): the
+    # caller's pressure guess can be orders of magnitude off, in which case
+    # the subsequent Newton would leave the physical basin.
+    ln_bulk_t = jnp.log(rho_bulk_t0)
+
+    def ss_round(_, carry):
+        ln_i, ln_bt = carry
+        rho_b = z * jnp.exp(ln_bt)
+        _, g_bulk = _states_eos(phi_fn, rho_b[None, :])
+        mu_bulk = jnp.log(rho_b) + g_bulk[0]
+
+        def ss_body(_, ln_i):
+            _, g_inc = _states_eos(phi_fn, jnp.exp(ln_i)[None, :])
+            target = mu_bulk - g_inc[0]
+            if incipient_is_vapor:
+                # vapor: the fugacity fixed point is a contraction
+                return ln_i + jnp.clip(target - ln_i, -1.0, 1.0)
+            # liquid: the raw exp map diverges toward the trivial vapor
+            # root; rotate only the composition and pin the total density
+            # at the NPT liquid value
+            ln_x = target - jax.scipy.special.logsumexp(target)
+            return ln_x + jnp.log(rho_inc_t0)
+
+        ln_i = jax.lax.fori_loop(0, _N_SS_WARMUP, ss_body, ln_i)
+        if not incipient_is_vapor:
+            # re-estimate the bulk vapor total from the ideal-vapor
+            # identity rho_V_i ~ exp(mu~_i(incipient liquid))
+            _, g_inc = _states_eos(phi_fn, jnp.exp(ln_i)[None, :])
+            mu_inc = ln_i + g_inc[0]
+            ln_bt = jax.scipy.special.logsumexp(jnp.clip(mu_inc, -700.0, 700.0))
+            ln_bt = jnp.minimum(ln_bt, ln_bulk_max)
+        return ln_i, ln_bt
+
+    ln_inc, ln_bulk_t = jax.lax.fori_loop(
+        0, 3 if not incipient_is_vapor else 1, ss_round, (ln_inc, ln_bulk_t)
+    )
+
+    # full Newton on u = [ln rho_inc (n), ln rho_bulk_t]
+    def residual(u):
+        r_inc = jnp.exp(u[:n])
+        r_bulk = z * jnp.exp(u[n])
+        R = jnp.concatenate([r_inc[None, :], r_bulk[None, :]])
+        pt, g = _states_eos(phi_fn, R)
+        mu = jnp.log(R) + g
+        return jnp.concatenate([mu[0] - mu[1], (pt[0] - pt[1])[None]])
+
+    u0 = jnp.concatenate([ln_inc, ln_bulk_t[None]])
+
+    def cond(state):
+        _, it, done = state
+        return (~done) & (it < _MAX_MIX_ITER)
+
+    def project(u):
+        # keep each phase on its branch (outside the unstable region)
+        ln_inc_tot = jax.scipy.special.logsumexp(u[:n])
+        shift = jnp.clip(ln_inc_tot, ln_inc_min, ln_inc_max) - ln_inc_tot
+        u = u.at[:n].add(shift)
+        u = u.at[n].set(jnp.clip(u[n], ln_bulk_min, ln_bulk_max))
+        return u
+
+    def body(state):
+        u, it, done = state
+        r, J = _val_and_jac(residual, u)
+        step = _solve3(J, r) if n == 2 else jnp.linalg.solve(J, r)
+        converged = jnp.max(jnp.abs(step)) < _STEP_TOL
+        step = jnp.clip(step, -0.5, 0.5)
+        u_new = jnp.where(done, u, project(u - step))
+        return u_new, it + 1, done | converged
+
+    u, _, _ = jax.lax.while_loop(cond, body, (u0, 0, jnp.array(False)))
+
+    rho_inc = jnp.exp(u[:n])
+    rho_bulk = z * jnp.exp(u[n])
+    r = residual(u)
+    p_sol, _ = _states_eos(phi_fn, rho_inc[None, :])
+    scale_p = jnp.sum(rho_inc)
+    res_mu = jnp.max(jnp.abs(r[:n]))
+    # absolute allowance for the liquid-pressure cancellation noise (see
+    # the pure solver): the denser state sets the noise scale
+    p_noise = 1e-12 * jnp.maximum(jnp.sum(rho_inc), jnp.sum(rho_bulk))
+    res_p = jnp.abs(r[n]) / (scale_p + p_noise / _RES_RTOL)
+    trivial = jnp.abs(jnp.log(jnp.sum(rho_inc)) - u[n]) < 1e-5
+    if incipient_is_vapor:
+        ordered = jnp.sum(rho_inc) < jnp.sum(rho_bulk)
+    else:
+        ordered = jnp.sum(rho_inc) > jnp.sum(rho_bulk)
+    ok = (
+        ok_bulk
+        & jnp.all(jnp.isfinite(u))
+        & (res_mu < 1e-7)
+        & (res_p < _RES_RTOL)
+        & ~trivial
+        & ordered
+        & (p_sol[0] > 0.0)
+    )
+    return rho_inc, rho_bulk, ok

@@ -1,0 +1,135 @@
+"""Binary-mixture PC-SAFT tests.
+
+Mirrors reference tests/test_pcsaft_mix.py (SURVEY.md section 4): oracle
+equivalence of the Helmholtz energy density and the full derivative set over
+all 14 association/dipole regime combinations (golden values generated from
+the reference implementation), bubble/dew-point solves, and
+finite-difference gradient checks for the binary interaction parameters.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feos_tpu.models import pcsaft_mix as M
+from feos_tpu.models.pcsaft_pure import vapor_pressure
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _golden():
+    return json.loads((GOLDEN / "mix_helmholtz.json").read_text())
+
+
+def test_helmholtz_energy_density_golden():
+    d = _golden()
+    n = len(d["params"])
+    T = jnp.full((n,), d["temperature"])
+    rho = jnp.tile(jnp.asarray(d["density"]), (n, 1))
+    a = jax.jit(M.helmholtz_energy_density)(
+        np.array(d["params"]), np.array(d["kij"]), T, rho
+    )
+    np.testing.assert_allclose(a, d["a"], rtol=0, atol=1e-14)
+
+
+def test_derivatives_golden():
+    """A, p~, mu_i, v_i vs the reference DualTensor implementation, all 14
+    regime cases (labels np/np ... aa/aa, reference tests/test_pcsaft_mix.py:95-124)."""
+    d = _golden()
+    n = len(d["params"])
+    T = jnp.full((n,), d["temperature"])
+    rho = jnp.tile(jnp.asarray(d["density"]), (n, 1))
+    a, p, mu, v = jax.jit(M.derivatives)(
+        np.array(d["params"]), np.array(d["kij"]), T, rho
+    )
+    np.testing.assert_allclose(a, d["a"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(p, d["p"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(mu, d["mu"], rtol=0, atol=1e-13)
+    np.testing.assert_allclose(v, d["v"], rtol=0, atol=1e-11)
+
+
+BUBBLE_PARAMS = [[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500, 1, 1]]
+DEW_PARAMS = [[1, 3.5, 150, 0, 0, 0, 0, 0], [1, 3.5, 200, 0, 0, 0, 0, 0]]
+
+
+def test_bubble_point_gradient_fd():
+    """kij gradient of the bubble pressure vs finite differences.
+
+    Port of reference tests/test_pcsaft_mix.py:127-192 (same parameters and
+    FD scheme; the oracle pressure is replaced by equilibrium-condition
+    checks in test_solvers_mix.py since FeOs is unavailable)."""
+    h = 1e-8
+    params = np.array([BUBBLE_PARAMS] * 2, dtype=np.float64)
+    kij = np.array([[-0.15, 1000.0], [-0.15 + h, 1000.0]])
+    T = jnp.full((2,), 150.0)
+    x = jnp.full((2,), 0.5)
+    p0 = jnp.full((2,), 1e5)
+    p, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    assert not np.any(nans)
+    fd = (p[1] - p[0]) / h
+
+    def f(k):
+        pp, _ = M.bubble_point(
+            params[:1], jnp.array([[k, 1000.0]]), T[:1], x[:1], p0[:1]
+        )
+        return pp[0]
+
+    grad = jax.jit(jax.grad(f))(jnp.asarray(-0.15))
+    assert np.abs(grad - fd) < 1.0, f"ad={grad} fd={fd}"
+
+
+def test_dew_point_gradient_fd():
+    """kij gradient of the dew pressure vs finite differences
+    (reference tests/test_pcsaft_mix.py:195-251)."""
+    h = 1e-8
+    params = np.array([DEW_PARAMS] * 2, dtype=np.float64)
+    kij = np.array([[-0.15, 0.0], [-0.15 + h, 0.0]])
+    T = jnp.full((2,), 150.0)
+    y = jnp.full((2,), 0.5)
+    p0 = jnp.full((2,), 1e5)
+    p, nans = jax.jit(M.dew_point)(params, kij, T, y, p0)
+    assert not np.any(nans)
+    fd = (p[1] - p[0]) / h
+
+    def f(k):
+        pp, _ = M.dew_point(params[:1], jnp.array([[k, 0.0]]), T[:1], y[:1], p0[:1])
+        return pp[0]
+
+    grad = jax.jit(jax.grad(f))(jnp.asarray(-0.15))
+    assert np.abs(grad - fd) < 1.0, f"ad={grad} fd={fd}"
+
+
+def test_bubble_dew_coincide_for_identical_components():
+    """Absolute anchor: a 'binary' of two identical components with kij = 0
+    must reproduce the pure-component vapor pressure at any composition
+    (bubble = dew = saturation pressure).  The pure vapor pressure itself is
+    anchored to the reference README values (test_pcsaft_pure.py)."""
+    comp = [1.5, 3.5, 250.0, 0.0, 0.03, 1500.0, 1.0, 1.0]
+    params = np.array([[comp, comp]] * 2, dtype=np.float64)
+    kij = np.zeros((2, 2))
+    T = jnp.array([300.0, 350.0])
+    x = jnp.full((2,), 0.3)
+    p0 = jnp.array([2e5, 1e6])
+    _, vp = jax.jit(vapor_pressure)(np.array([comp] * 2), T)
+    pb, nb = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    pd, nd = jax.jit(M.dew_point)(params, kij, T, x, p0)
+    assert not np.any(nb) and not np.any(nd)
+    np.testing.assert_allclose(pb, vp, rtol=1e-7)
+    np.testing.assert_allclose(pd, vp, rtol=1e-7)
+
+
+def test_mix_reduces_to_pure_at_trace_dilution():
+    """phi of a binary with a vanishing second component equals pure phi."""
+    from feos_tpu.models.pcsaft_pure import PcSaftPure
+
+    comp1 = [1.5, 3.2, 150, 2.5, 0.03, 2500, 1, 1]
+    comp2 = [1.0, 3.0, 100, 0, 0, 0, 0, 0]
+    params = np.array([[comp1, comp2]], dtype=np.float64)
+    T = jnp.array([300.0])
+    rho = jnp.array([[0.004, 1e-30]])
+    a_mix = jax.jit(M.helmholtz_energy_density)(params, None, T, rho)
+    a_pure = PcSaftPure(np.array([comp1])).helmholtz_energy(T, jnp.array([0.004]))
+    np.testing.assert_allclose(a_mix, a_pure, rtol=1e-12)

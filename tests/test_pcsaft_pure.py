@@ -1,0 +1,140 @@
+"""Pure-component PC-SAFT tests.
+
+Mirrors the strategy of reference tests/test_pcsaft_pure.py (SURVEY.md
+section 4): oracle equivalence on Helmholtz derivatives (golden values
+generated from the reference implementation, tests/golden/), absolute
+correctness anchors from the reference README example, and self-contained
+finite-difference gradient checks.
+"""
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feos_tpu import PcSaftPure
+from feos_tpu.models.pcsaft_pure import (
+    equilibrium_liquid_density,
+    liquid_density,
+    vapor_pressure,
+)
+
+GOLDEN = Path(__file__).parent / "golden"
+
+README_PARAMS = [1.5, 3.5, 250.0, 0.0, 0.03, 1500.0, 1.0, 1.0]
+README_T = [250.0, 300.0, 350.0, 400.0, 450.0]
+README_VP = [20693.5960, 216164.6184, 1049770.6187, 3281855.9640, 7875531.7021]
+README_GRAD = [-6.7923e4, -1.7737e4, -7.0413e2, 0.0, -5.7458e5, -6.9122e1,
+               -3.6892e4, -3.6892e4]
+
+
+def test_helmholtz_derivatives_golden():
+    """phi, p~, dp~/drho vs the reference implementation (oracle, 1e-14)."""
+    d = json.loads((GOLDEN / "pure_helmholtz.json").read_text())
+    n = len(d["params"])
+    eos = PcSaftPure(np.array(d["params"]))
+    T = jnp.full((n,), d["temperature"])
+    rho = jnp.full((n,), d["density"])
+    a, p, dp = jax.jit(eos.derivatives)(T, rho)
+    np.testing.assert_allclose(a, d["a"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(p, d["p"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(dp, d["dp"], rtol=0, atol=1e-14)
+
+
+def test_vapor_pressure_readme():
+    """Absolute anchor: README example values (reference README.md:25-27)."""
+    eos = PcSaftPure(np.tile(README_PARAMS, (5, 1)))
+    nans, vp = jax.jit(eos.vapor_pressure)(jnp.array(README_T))
+    assert not np.any(nans)
+    np.testing.assert_allclose(vp, README_VP, rtol=5e-9)
+
+
+def test_vapor_pressure_readme_gradients():
+    """Parameter gradients of vp[0] vs README (reference README.md:28-29)."""
+    p0 = jnp.array(README_PARAMS)
+
+    def f(p):
+        _, vp = vapor_pressure(jnp.tile(p, (5, 1)), jnp.array(README_T))
+        return vp[0]
+
+    grad = jax.jit(jax.grad(f))(p0)
+    np.testing.assert_allclose(grad, README_GRAD, rtol=5e-4)
+
+
+def test_vle_internal_consistency():
+    """At the solver output, p and mu equality must hold to ~1e-9."""
+    from feos_tpu.models.pcsaft_pure import PureParams
+    from feos_tpu.solvers.vle import _eos_pure, pure_vle
+
+    d = json.loads((GOLDEN / "pure_helmholtz.json").read_text())
+    params = jnp.asarray(d["params"], dtype=jnp.float64)
+    p = PureParams.from_array(params)
+    T = jnp.full((len(d["params"]),), 300.0)
+    rho_v, rho_l, ok = jax.jit(jax.vmap(pure_vle))(p, T)
+    assert np.all(ok), f"unconverged rows: {np.where(~np.asarray(ok))}"
+    p_v, _, mu_v, _ = jax.vmap(_eos_pure)(p, T, rho_v)
+    p_l, _, mu_l, _ = jax.vmap(_eos_pure)(p, T, rho_l)
+    np.testing.assert_allclose(p_v, p_l, rtol=1e-8)
+    np.testing.assert_allclose(mu_v, mu_l, rtol=0, atol=1e-8)
+
+
+@pytest.mark.parametrize(
+    "prop, args, params, h",
+    [
+        ("liquid_density", (jnp.array([300.0]), jnp.array([1e5])),
+         [1.5, 3.2, 150, 2.5, 0.03, 2500, 1, 1], 5e-9),
+        ("vapor_pressure", (jnp.array([300.0]),),
+         [1.5, 3.2, 150, 2.5, 0.03, 2500, 1, 2], 5e-9),
+        ("equilibrium_liquid_density", (jnp.array([300.0]),),
+         [1.5, 3.2, 150, 2.5, 0.03, 2500, 2, 1], 5e-7),
+    ],
+)
+def test_gradients_fd(prop, args, params, h):
+    """Reverse-mode parameter gradients vs central-pattern finite differences.
+
+    Port of reference tests/test_pcsaft_pure.py:91-161 (same parameters,
+    same relative step, same 1e-4 acceptance).
+    """
+    fn = {
+        "liquid_density": liquid_density,
+        "vapor_pressure": vapor_pressure,
+        "equilibrium_liquid_density": equilibrium_liquid_density,
+    }[prop]
+
+    def f(p):
+        _, val = fn(p[None, :], *args)
+        return val[0]
+
+    p0 = jnp.array(params, dtype=jnp.float64)
+    grad = jax.jit(jax.grad(f))(p0)
+    val0 = f(p0)
+    for i in range(6):
+        hi = params[i] * h
+        ph = p0.at[i].add(hi)
+        fd = (f(ph) - val0) / hi
+        assert np.abs((fd - grad[i]) / grad[i]) < 1e-4, (
+            f"param {i}: fd={fd} grad={grad[i]}"
+        )
+
+
+def test_failure_mask_supercritical():
+    """Supercritical rows must be masked, not poison the batch."""
+    params = np.tile([1.0, 3.5, 150.0, 0, 0, 0, 0, 0], (3, 1))
+    T = jnp.array([100.0, 130.0, 1000.0])  # 1000 K far above critical
+    nans, vp = jax.jit(vapor_pressure)(params, T)
+    assert not nans[0] and not nans[1]
+    assert nans[2]
+    assert np.isnan(vp[2]) and np.isfinite(vp[0]) and np.isfinite(vp[1])
+
+
+def test_liquid_density_matches_equilibrium_at_saturation():
+    """NPT liquid density at p = p_sat equals the equilibrium liquid density."""
+    params = np.tile(README_PARAMS, (3, 1))
+    T = jnp.array([250.0, 300.0, 350.0])
+    _, vp = jax.jit(vapor_pressure)(params, T)
+    _, rho_eq = jax.jit(equilibrium_liquid_density)(params, T)
+    _, rho_npt = jax.jit(liquid_density)(params, T, vp)
+    np.testing.assert_allclose(rho_npt, rho_eq, rtol=1e-9)
