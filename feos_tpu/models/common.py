@@ -52,8 +52,17 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
     n = m.shape[0]
     mu2_term = mu2_scaled / temperature
     mc = jnp.clip(m, max=2.0)
-    phi2 = 0.0
-    phi3 = 0.0
+    # Accumulate the pair/triplet sums on composition weights w = rho/rho_t
+    # (O(1)) and reattach the total-density powers at the end; the ratio
+    # phi3/phi2 of the Pade is then rho_t * (S3/S2) with S2, S3 both O(1).
+    # Accumulating on raw partial densities instead makes phi2 ~ O(rho^2)
+    # and the quotient's second derivative touches phi2^3, which
+    # under-/overflows the TPU's emulated-f64 exponent range (~1e+-38) at
+    # dilute states and poisons derivatives with NaN/inf.
+    rho_t = jnp.sum(rho)
+    w = rho / rho_t
+    S2 = 0.0
+    S3 = 0.0
     for i in range(n):
         for j in range(i, n):
             sigma_ij_3 = (0.5 * (sigma[i] + sigma[j])) ** 3
@@ -62,8 +71,8 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
             mij2 = mij1 * (mij - 2.0) / mij
             eps_ij_t = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
             c = 1.0 if i == j else 2.0
-            phi2 = phi2 - (
-                rho[i] * rho[j] * mu2_term[i] * mu2_term[j]
+            S2 = S2 - (
+                w[i] * w[j] * mu2_term[i] * mu2_term[j]
                 * pair_integral(mij1, mij2, etas, eps_ij_t) / sigma_ij_3 * c
             )
             for k in range(j, n):
@@ -74,17 +83,17 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
                 mijk1 = (mijk - 1.0) / mijk
                 mijk2 = mijk1 * (mijk - 2.0) / mijk
                 c3 = {1: 1.0, 2: 3.0, 3: 6.0}[len({i, j, k})]
-                phi3 = phi3 - (
-                    rho[i] * rho[j] * rho[k]
+                S3 = S3 - (
+                    w[i] * w[j] * w[k]
                     * mu2_term[i] * mu2_term[j] * mu2_term[k]
                     * triplet_integral(mijk1, mijk2, etas)
                     / (sigma_ij * sigma_ik * sigma_jk) * c3
                 )
-    phi2 = phi2 * PI
-    phi3 = phi3 * (4.0 / 3.0 * PI * PI)
-    denom = phi2 - phi3
-    denom = jnp.where(denom != 0.0, denom, 1.0)
-    return phi2 * phi2 / denom
+    S2 = S2 * PI
+    S3 = S3 * (4.0 / 3.0 * PI * PI)
+    phi2 = rho_t * rho_t * S2
+    ratio = rho_t * S3 / jnp.where(S2 != 0.0, S2, 1.0)
+    return phi2 / (1.0 - ratio)
 
 
 def association_strength(

@@ -121,8 +121,14 @@ def phi_pure(p: PureParams, temperature, density):
     J1 = jnp.dot(ad + bd * e, etas[:5])
     J2 = jnp.dot(CD[:, 0] + md1 * CD[:, 1] + md2 * CD[:, 2], etas[:4])
     phi2 = -rho * rho * J1 / s3 * PI
-    phi3 = -rho * rho * rho * J2 / s3 * (4.0 / 3.0 * PI**2)
-    dipole = phi2 * phi2 * mu2 * mu2 / (phi2 - phi3 * mu2)
+    # scale-safe Pade: phi2^2 mu2^2/(phi2 - phi3 mu2) = phi2 mu2^2/(1 - r mu2)
+    # with the density powers of r = phi3/phi2 cancelled *analytically*:
+    # r = rho (J2/J1) (4 pi / 3).  The naive form squares and cubes
+    # phi2 ~ O(rho^2), which under-/overflows the TPU's emulated-f64
+    # exponent range (~1e+-38) at dilute states and poisons the second
+    # derivative with NaN/inf.
+    ratio = rho * (J2 / jnp.where(J1 != 0.0, J1, 1.0)) * (4.0 / 3.0 * PI)
+    dipole = phi2 * mu2 * mu2 / (1.0 - ratio * mu2)
 
     # association (closed-form 2-site solution; degenerates to zero when
     # kappa_ab * (exp(eps_ab/T) - 1) = 0, reference feos_torch/pcsaft_pure.py:162-176)

@@ -56,7 +56,7 @@ def _cross_step(xa0, xa1, d00, d01, d10, d11, A0, A1, B0, B1):
     j10 = -xa1 * (q10 / w0 * A0 * d00 + q11 / w1 * A0 * d10)
     j11 = 1.0 + q10 + q11 - xa1 * (q10 / w0 * A1 * d01 + q11 / w1 * A1 * d11)
     det = j00 * j11 - j01 * j10
-    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     n0 = xa0 - (j11 * f0 - j01 * f1) / det
     n1 = xa1 - (-j10 * f0 + j00 * f1) / det
     # damping (reference feos_torch/pcsaft_mix.py:304-308)
@@ -92,7 +92,7 @@ def solve_cross_assoc(d00, d01, d10, d11, rhoa0, rhoa1, rhob0, rhob1):
         det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
         # guard against det = 0 on sanitized (masked-out) lanes; real cross
         # rows have det ~ 1 + O(delta) > 0
-        det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
         dx0 = (J[1, 1] * f[0] - J[0, 1] * f[1]) / det
         dx1 = (-J[1, 0] * f[0] + J[0, 0] * f[1]) / det
         xa = xa - jnp.stack([dx0, dx1])
@@ -120,7 +120,7 @@ def _induced_step(xa, d00, d01, d10, d11, na0, na1, nb0, nb1):
     dg0 = dww + nb0 * c1 * d00 + nb1 * c0 * d01
     dg1 = dww + nb0 * c1 * d10 + nb1 * c0 * d11
     df = na0 * (g0 + xa * dg0 - dww) + na1 * (g1 + xa * dg1 - dww)
-    df = jnp.where(jnp.abs(df) > 1e-300, df, 1.0)
+    df = jnp.where(jnp.abs(df) > 1e-30, df, 1.0)
     new = xa - f / df
     return jnp.where(new < 0.0, 0.2 * xa, new)
 
@@ -143,7 +143,7 @@ def solve_induced_assoc(d00, d01, d10, d11, na0, na1, nb0, nb1):
         )
         # guard: on sanitized lanes (all site counts zero) f and df are both
         # identically zero and the step must be a no-op, not 0/0
-        df = jnp.where(jnp.abs(df) > 1e-300, df, 1.0)
+        df = jnp.where(jnp.abs(df) > 1e-30, df, 1.0)
         xa = xa - f / df
     return xa
 
@@ -165,7 +165,7 @@ def _cross_sym_step(xa0, xa1, d00, d01, d10, d11):
     j10 = xa1 * d10
     j11 = 1.0 + xa0 * d10 + 2.0 * xa1 * d11
     det = j00 * j11 - j01 * j10
-    det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     n0 = xa0 - (j11 * f0 - j01 * f1) / det
     n1 = xa1 - (-j10 * f0 + j00 * f1) / det
     n0 = jnp.where(n0 < 0.0, 0.2 * xa0, n0)
@@ -194,7 +194,7 @@ def solve_cross_assoc_sym(d00, d01, d10, d11):
         f = residual(xa)
         J = jax.jacfwd(residual)(xa)
         det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
-        det = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
         dx0 = (J[1, 1] * f[0] - J[0, 1] * f[1]) / det
         dx1 = (-J[1, 0] * f[0] + J[0, 0] * f[1]) / det
         xa = xa - jnp.stack([dx0, dx1])

@@ -42,9 +42,12 @@ from ..ops.derivatives import value_and_2derivs
 
 PI = np.pi
 
-_MAX_NPT_ITER = 100
-_MAX_VLE_ITER = 150
-_STEP_TOL = 1e-13
+_MAX_NPT_ITER = 60
+_MAX_VLE_ITER = 80
+# Step-based exit tolerance: must be reachable under the TPU's emulated-f64
+# arithmetic (~3e-14 relative noise; Newton steps jitter at the noise/scale
+# ratio), so loops also carry residual-based exits at the acceptance level.
+_STEP_TOL = 3e-12
 # Residual acceptance sits well above the f64 cancellation-noise floor of
 # p~ = rho - phi + rho*phi' (~1e-9 on the vapor-density scale) but far below
 # any genuinely unconverged state; the stationary re-attachment identities
@@ -93,6 +96,8 @@ def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
     Returns ``(rho (k,), ok (k,))`` with residual-based acceptance.
     """
     k = p_targets.shape[0]
+    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
+    lr_max = jnp.log(0.74 * 6.0 / (PI * p.m * d**3))  # packing-fraction cap
 
     def cond(state):
         _, it, done = state
@@ -107,8 +112,10 @@ def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
         newton = r / jnp.where(dr > 0.0, dr, 1.0)
         step = jnp.where(dr > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
         converged = (jnp.abs(newton) < _STEP_TOL) & (dr > 0.0)
-        lr_new = jnp.where(done, lr, lr - step)
-        return lr_new, it + 1, done | converged
+        bad = ~jnp.isfinite(step)
+        step = jnp.where(bad, 0.0, step)
+        lr_new = jnp.where(done, lr, jnp.minimum(lr - step, lr_max))
+        return lr_new, it + 1, done | converged | bad
 
     lr0 = jnp.log(rho0)
     lr, _, _ = jax.lax.while_loop(cond, body, (lr0, 0, jnp.zeros(k, dtype=bool)))
@@ -133,7 +140,7 @@ def npt_density(p: PureParams, temperature, p_target, liquid: bool = True):
         rho0 = 0.5 / eta_factor
         sign = 1.0
     else:
-        rho0 = jnp.maximum(p_target, 1e-300)
+        rho0 = jnp.maximum(p_target, 1e-30)
         sign = -1.0
     rho, ok = _npt_multi_pure(
         p,
@@ -157,7 +164,7 @@ def _spinodal_estimate(p: PureParams, temperature):
     """Grid-scan estimate of the inflection state of p~(rho).
 
     Evaluates dp~/drho on a static packing-fraction grid and returns
-    ``(p_inf, supercritical)`` where ``p_inf`` is the reduced pressure at
+    ``(p_inf, rho_inf, supercritical)`` where ``p_inf`` is the reduced pressure at
     the minimum of dp~/drho (which lies strictly between the two spinodal
     pressures whenever a van-der-Waals loop exists) and ``supercritical``
     flags min dp~/drho > 0 (no loop, no VLE).  The feos crate hides its
@@ -171,7 +178,8 @@ def _spinodal_estimate(p: PureParams, temperature):
     i_min = jnp.argmin(dptildes)
     supercritical = dptildes[i_min] > 0.0
     p_inf = jnp.maximum(ptildes[i_min], 1e-12)
-    return p_inf, supercritical
+    rho_inf = rhos[i_min]
+    return p_inf, rho_inf, supercritical
 
 
 def pure_vle(p: PureParams, temperature):
@@ -194,7 +202,7 @@ def pure_vle(p: PureParams, temperature):
     """
     d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
     eta_factor = PI / 6.0 * p.m * d**3
-    p_inf, supercritical = _spinodal_estimate(p, temperature)
+    p_inf, rho_inf, supercritical = _spinodal_estimate(p, temperature)
 
     # lane 0: liquid at vanishing pressure; lane 1: liquid at p_inf
     rho_init, ok_init = _npt_multi_pure(
@@ -209,17 +217,22 @@ def pure_vle(p: PureParams, temperature):
     ok_l = ok_tiny | ok_init[1]
 
     _, _, mu_l0, _ = _eos_pure(p, temperature, rho_l0)
-    p_mu = jnp.exp(jnp.clip(mu_l0, -700.0, 700.0))
+    p_mu = jnp.exp(jnp.clip(mu_l0, -78.0, 78.0))
     p0 = jnp.where(ok_tiny, p_mu, p_inf)
 
     rho_v0, ok_v = _npt_multi_pure(
-        p, temperature, p0[None], jnp.maximum(p0, 1e-300)[None], jnp.full((1,), -1.0)
+        p, temperature, p0[None], jnp.maximum(p0, 1e-30)[None], jnp.full((1,), -1.0)
     )
     rho_v0 = jnp.where(ok_v[0], rho_v0[0], p0)
 
     def cond(state):
         _, it, done = state
         return (~done) & (it < _MAX_VLE_ITER)
+
+    # iterates stay on their branch: rho_V below, rho_L above the
+    # inflection density of the van-der-Waals loop (NaN-proof under the
+    # noisier TPU f64 emulation)
+    ln_inf = jnp.log(rho_inf)
 
     def body(state):
         lvl, it, done = state
@@ -232,13 +245,23 @@ def pure_vle(p: PureParams, temperature):
         j10 = rho[0] * dmu[0]
         j11 = -rho[1] * dmu[1]
         det = j00 * j11 - j01 * j10
-        det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
         dv = (j11 * r1 - j01 * r2) / det
         dl = (-j10 * r1 + j00 * r2) / det
-        converged = (jnp.abs(dv) + jnp.abs(dl)) < _STEP_TOL
+        # exit on step size or on residuals at the acceptance level
+        # (the absolute term covers the liquid-pressure cancellation noise)
+        res_ok = (
+            jnp.abs(r1) < 1e-9 * jnp.abs(j00) + 1e-13 * jnp.abs(rho[1] * dpt[1])
+        ) & (jnp.abs(r2) < 1e-9)
+        converged = ((jnp.abs(dv) + jnp.abs(dl)) < _STEP_TOL) | res_ok
         step = jnp.clip(jnp.stack([dv, dl]), -0.2, 0.2)
-        lvl_new = jnp.where(done, lvl, lvl - step)
-        return lvl_new, it + 1, done | converged
+        bad = ~jnp.all(jnp.isfinite(step))
+        step = jnp.where(bad, 0.0, step)
+        new = lvl - step
+        new = new.at[0].set(jnp.minimum(new[0], ln_inf))
+        new = new.at[1].set(jnp.maximum(new[1], ln_inf))
+        lvl_new = jnp.where(done, lvl, new)
+        return lvl_new, it + 1, done | converged | bad
 
     lvl0 = jnp.log(jnp.stack([rho_v0, rho_l0]))
     lvl, _, _ = jax.lax.while_loop(cond, body, (lvl0, 0, jnp.array(False)))
@@ -306,7 +329,7 @@ def _solve3(J, r):
     c01 = J[1, 2] * J[2, 0] - J[1, 0] * J[2, 2]
     c02 = J[1, 0] * J[2, 1] - J[1, 1] * J[2, 0]
     det = J[0, 0] * c00 + J[0, 1] * c01 + J[0, 2] * c02
-    det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
     x0 = (
         r[0] * c00
         + r[1] * (J[0, 2] * J[2, 1] - J[0, 1] * J[2, 2])
@@ -372,7 +395,7 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
     p_sv = jnp.max(jnp.where(unstable_seen, -jnp.inf, pt_grid))
     has_loop = jnp.any(unstable)
     p0 = jnp.where(has_loop, jnp.minimum(p0, 0.5 * p_sv), p0)
-    p0 = jnp.maximum(p0, 1e-300)
+    p0 = jnp.maximum(p0, 1e-30)
 
     # branch-limit densities from the same scan: the largest stable-vapor
     # grid density (below the first unstable point) and the smallest
@@ -410,6 +433,8 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
 
     branch_sign = jnp.array([1.0, -1.0])
 
+    lr_cap = jnp.log(0.74 / eta_factor)
+
     def npt_body(state):
         lr, it, done = state
         pt, dpt = jax.jvp(npt_p, (lr,), (jnp.ones_like(lr),))
@@ -417,8 +442,10 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
         newton = r / jnp.where(dpt > 0.0, dpt, 1.0)
         step = jnp.where(dpt > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
         converged = (jnp.abs(newton) < _STEP_TOL) & (dpt > 0.0)
-        lr_new = jnp.where(done, lr, lr - step)
-        return lr_new, it + 1, done | converged
+        bad = ~jnp.isfinite(step)
+        step = jnp.where(bad, 0.0, step)
+        lr_new = jnp.where(done, lr, jnp.minimum(lr - step, lr_cap))
+        return lr_new, it + 1, done | converged | bad
 
     lr0 = jnp.log(jnp.stack([rho_liq_init, rho_vap_init]))
     lr, _, _ = jax.lax.while_loop(
@@ -467,7 +494,7 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
             # identity rho_V_i ~ exp(mu~_i(incipient liquid))
             _, g_inc = _states_eos(phi_fn, jnp.exp(ln_i)[None, :])
             mu_inc = ln_i + g_inc[0]
-            ln_bt = jax.scipy.special.logsumexp(jnp.clip(mu_inc, -700.0, 700.0))
+            ln_bt = jax.scipy.special.logsumexp(jnp.clip(mu_inc, -78.0, 78.0))
             ln_bt = jnp.minimum(ln_bt, ln_bulk_max)
         return ln_i, ln_bt
 
@@ -502,10 +529,17 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
         u, it, done = state
         r, J = _val_and_jac(residual, u)
         step = _solve3(J, r) if n == 2 else jnp.linalg.solve(J, r)
-        converged = jnp.max(jnp.abs(step)) < _STEP_TOL
-        step = jnp.clip(step, -0.5, 0.5)
+        # residual-based exit at the acceptance level (reachable under
+        # emulated f64 where step sizes bottom out at the noise floor)
+        tot = jnp.sum(jnp.exp(u[:n]))
+        res_ok = (jnp.max(jnp.abs(r[:n])) < 1e-9) & (
+            jnp.abs(r[n]) < 1e-9 * tot + 1e-13 * jnp.exp(u[n])
+        )
+        converged = (jnp.max(jnp.abs(step)) < _STEP_TOL) | res_ok
+        bad = ~jnp.all(jnp.isfinite(step))
+        step = jnp.where(bad, 0.0, jnp.clip(step, -0.5, 0.5))
         u_new = jnp.where(done, u, project(u - step))
-        return u_new, it + 1, done | converged
+        return u_new, it + 1, done | converged | bad
 
     u, _, _ = jax.lax.while_loop(cond, body, (u0, 0, jnp.array(False)))
 
