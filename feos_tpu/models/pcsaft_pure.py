@@ -71,6 +71,13 @@ def phi_pure(p: PureParams, temperature, density):
     """
     m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
     rho = density
+    # universal constants cast to the working dtype: the solvers run a
+    # reduced-precision (f32) warmup phase, and numpy f64 constants would
+    # silently promote everything back to f64
+    dtype = jnp.result_type(rho)
+    cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
+    cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
+    cAD, cBD, cCD = (jnp.asarray(c, dtype=dtype) for c in (AD, BD, CD))
 
     # temperature-dependent segment diameter
     d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
@@ -96,8 +103,8 @@ def phi_pure(p: PureParams, temperature, density):
     s3 = sigma**3
     m1 = (m - 1.0) / m
     m2 = (m - 2.0) / m
-    I1 = jnp.dot(m1 * (m2 * A2 + A1) + A0, etas)
-    I2 = jnp.dot(m1 * (m2 * B2 + B1) + B0, etas)
+    I1 = jnp.dot(m1 * (m2 * cA2 + cA1) + cA0, etas)
+    I2 = jnp.dot(m1 * (m2 * cB2 + cB1) + cB0, etas)
     C1 = 1.0 / (
         1.0
         + m * (8.0 * eta - 2.0 * eta2) * eta_m2 * eta_m2
@@ -116,10 +123,10 @@ def phi_pure(p: PureParams, temperature, density):
     mc = jnp.clip(m, max=2.0)
     md1 = (mc - 1.0) / mc
     md2 = md1 * (mc - 2.0) / mc
-    ad = AD[:, 0] + md1 * AD[:, 1] + md2 * AD[:, 2]
-    bd = BD[:, 0] + md1 * BD[:, 1] + md2 * BD[:, 2]
+    ad = cAD[:, 0] + md1 * cAD[:, 1] + md2 * cAD[:, 2]
+    bd = cBD[:, 0] + md1 * cBD[:, 1] + md2 * cBD[:, 2]
     J1 = jnp.dot(ad + bd * e, etas[:5])
-    J2 = jnp.dot(CD[:, 0] + md1 * CD[:, 1] + md2 * CD[:, 2], etas[:4])
+    J2 = jnp.dot(cCD[:, 0] + md1 * cCD[:, 1] + md2 * cCD[:, 2], etas[:4])
     phi2 = -rho * rho * J1 / s3 * PI
     # scale-safe Pade: phi2^2 mu2^2/(phi2 - phi3 mu2) = phi2 mu2^2/(1 - r mu2)
     # with the density powers of r = phi3/phi2 cancelled *analytically*:

@@ -85,13 +85,17 @@ def _eos_pure(p: PureParams, temperature, rho):
     return ptilde, dptilde, mu, dmu
 
 
-def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
+def _npt_multi_pure(
+    p: PureParams, temperature, p_targets, rho0, branch_sign,
+    step_tol=_STEP_TOL, res_tol=_RES_RTOL,
+):
     """Solve k independent pure NPT problems p~(rho_k) = p_target_k in one loop.
 
     ``branch_sign`` is +1 for liquid-branch solves and -1 for vapor-branch
     solves; inside the mechanically unstable region (dp~/drho <= 0) the
     iterate walks toward the requested branch.  Replaces the feos crate's
-    ``State::new_npt`` (reference src/pcsaft.rs:105-129).
+    ``State::new_npt`` (reference src/pcsaft.rs:105-129).  Runs in the
+    dtype of its inputs (the VLE wrapper uses an f32 warmup phase).
 
     Returns ``(rho (k,), ok (k,))`` with residual-based acceptance.
     """
@@ -111,7 +115,7 @@ def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
         dr = rho * dptilde  # d p~ / d ln rho
         newton = r / jnp.where(dr > 0.0, dr, 1.0)
         step = jnp.where(dr > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
-        converged = (jnp.abs(newton) < _STEP_TOL) & (dr > 0.0)
+        converged = (jnp.abs(newton) < step_tol) & (dr > 0.0)
         bad = ~jnp.isfinite(step)
         step = jnp.where(bad, 0.0, step)
         lr_new = jnp.where(done, lr, jnp.minimum(lr - step, lr_max))
@@ -124,15 +128,20 @@ def _npt_multi_pure(p: PureParams, temperature, p_targets, rho0, branch_sign):
     resid = jnp.abs(ptilde - p_targets) / jnp.abs(
         rho * jnp.where(dptilde > 0.0, dptilde, 1.0)
     )
-    ok = jnp.isfinite(rho) & (dptilde > 0.0) & (resid < _RES_RTOL)
+    ok = jnp.isfinite(rho) & (dptilde > 0.0) & (resid < res_tol)
     return rho, ok
 
 
-def npt_density(p: PureParams, temperature, p_target, liquid: bool = True):
+def npt_density(
+    p: PureParams, temperature, p_target, liquid: bool = True,
+    mixed_precision: bool = True,
+):
     """Single-branch pure NPT solve; see ``_npt_multi_pure``.
 
     Liquid branch initializes at packing fraction eta = 0.5, vapor branch at
-    the ideal-gas density (p~ = rho).
+    the ideal-gas density (p~ = rho).  With ``mixed_precision`` the bulk of
+    the Newton iterations run in f32 followed by an f64 polish (2-3
+    iterations, quadratic from ~1e-5); acceptance is always f64.
     """
     d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
     eta_factor = PI / 6.0 * p.m * d**3
@@ -142,12 +151,25 @@ def npt_density(p: PureParams, temperature, p_target, liquid: bool = True):
     else:
         rho0 = jnp.maximum(p_target, 1e-30)
         sign = -1.0
+    if mixed_precision:
+        f32 = jnp.float32
+        p32 = PureParams(*(x.astype(f32) for x in p))
+        rho32, ok32 = _npt_multi_pure(
+            p32,
+            temperature.astype(f32),
+            p_target.astype(f32)[None],
+            rho0.astype(f32)[None],
+            jnp.full((1,), sign, dtype=f32),
+            step_tol=1e-5,
+            res_tol=3e-3,
+        )
+        rho0 = jnp.where(ok32[0], rho32[0].astype(rho0.dtype), rho0)
     rho, ok = _npt_multi_pure(
         p,
         temperature,
         p_target[None],
         rho0[None],
-        jnp.full((1,), sign),
+        jnp.full((1,), sign, dtype=rho0.dtype),
     )
     eta = eta_factor * rho[0]
     return rho[0], ok[0] & (eta < 0.7)
@@ -164,32 +186,30 @@ def _spinodal_estimate(p: PureParams, temperature):
     """Grid-scan estimate of the inflection state of p~(rho).
 
     Evaluates dp~/drho on a static packing-fraction grid and returns
-    ``(p_inf, rho_inf, supercritical)`` where ``p_inf`` is the reduced pressure at
-    the minimum of dp~/drho (which lies strictly between the two spinodal
-    pressures whenever a van-der-Waals loop exists) and ``supercritical``
-    flags min dp~/drho > 0 (no loop, no VLE).  The feos crate hides its
+    ``(p_inf, rho_inf, supercritical)`` where ``p_inf`` is the reduced
+    pressure at the minimum of dp~/drho (which lies strictly between the two
+    spinodal pressures whenever a van-der-Waals loop exists), ``rho_inf``
+    the corresponding density, and ``supercritical`` flags
+    min dp~/drho > 0 (no loop, no VLE).  The feos crate hides its
     equivalent initialization inside ``PhaseEquilibrium::pure``
     (src/pcsaft.rs:91); this grid scan is the fixed-shape TPU analogue.
     """
+    dtype = p.m.dtype
     d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
     eta_factor = PI / 6.0 * p.m * d**3
-    rhos = jnp.asarray(_ETA_GRID) / eta_factor
+    rhos = jnp.asarray(_ETA_GRID, dtype=dtype) / eta_factor
     ptildes, dptildes, _, _ = _eos_pure_multi(p, temperature, rhos)
     i_min = jnp.argmin(dptildes)
     supercritical = dptildes[i_min] > 0.0
-    p_inf = jnp.maximum(ptildes[i_min], 1e-12)
+    p_inf = jnp.maximum(ptildes[i_min], jnp.asarray(1e-12, dtype=dtype))
     rho_inf = rhos[i_min]
     return p_inf, rho_inf, supercritical
 
 
-def pure_vle(p: PureParams, temperature):
-    """Pure-component vapor-liquid equilibrium at temperature T.
+def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
+    """Initial (ln rho_V, ln rho_L) for the pure VLE Newton.
 
-    Replaces ``PhaseEquilibrium::pure`` behind reference src/pcsaft.rs:91.
-    Equilibrium conditions: p~(rho_V) = p~(rho_L) and mu~(rho_V) = mu~(rho_L)
-    solved by a damped 2x2 Newton iteration in (ln rho_V, ln rho_L).
-
-    Initialization (two regimes, selected per row, fixed shapes):
+    Two regimes, selected per row with fixed shapes:
 
     * deep subcritical: the liquid density at vanishing pressure gives a
       saturation-pressure estimate via the ideal-vapor identity
@@ -197,9 +217,8 @@ def pure_vle(p: PureParams, temperature):
     * near critical (no liquid root at vanishing pressure): both phases
       start from NPT solves at the inflection pressure of the van-der-Waals
       loop (``_spinodal_estimate``).
-
-    Returns ``(rho_v, rho_l, ok)``; supercritical rows are masked.
     """
+    dtype = p.m.dtype
     d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
     eta_factor = PI / 6.0 * p.m * d**3
     p_inf, rho_inf, supercritical = _spinodal_estimate(p, temperature)
@@ -208,9 +227,11 @@ def pure_vle(p: PureParams, temperature):
     rho_init, ok_init = _npt_multi_pure(
         p,
         temperature,
-        jnp.stack([jnp.asarray(1e-10, dtype=p_inf.dtype), p_inf]),
+        jnp.stack([jnp.asarray(1e-10, dtype=dtype), p_inf]),
         jnp.stack([0.5 / eta_factor, 0.5 / eta_factor]),
-        jnp.array([1.0, 1.0]),
+        jnp.array([1.0, 1.0], dtype=dtype),
+        step_tol=step_tol,
+        res_tol=res_tol,
     )
     ok_tiny = ok_init[0] & (eta_factor * rho_init[0] < 0.7)
     rho_l0 = jnp.where(ok_tiny, rho_init[0], rho_init[1])
@@ -221,18 +242,34 @@ def pure_vle(p: PureParams, temperature):
     p0 = jnp.where(ok_tiny, p_mu, p_inf)
 
     rho_v0, ok_v = _npt_multi_pure(
-        p, temperature, p0[None], jnp.maximum(p0, 1e-30)[None], jnp.full((1,), -1.0)
+        p,
+        temperature,
+        p0[None],
+        jnp.maximum(p0, 1e-30)[None],
+        jnp.full((1,), -1.0, dtype=dtype),
+        step_tol=step_tol,
+        res_tol=res_tol,
     )
     rho_v0 = jnp.where(ok_v[0], rho_v0[0], p0)
 
+    lvl0 = jnp.log(jnp.stack([rho_v0, rho_l0]))
+    return lvl0, jnp.log(rho_inf), ok_l, supercritical
+
+
+def _vle_newton(
+    p: PureParams, temperature, lvl0, ln_inf, max_iter, step_tol, res_rtol,
+    res_abs, mu_tol,
+):
+    """Damped 2x2 Newton on (ln rho_V, ln rho_L) with branch projection.
+
+    Iterates stay on their branch (rho_V below, rho_L above the inflection
+    density) — NaN-proof under the noisier TPU f64 emulation; exits on step
+    size or on residuals at the given tolerance level.
+    """
+
     def cond(state):
         _, it, done = state
-        return (~done) & (it < _MAX_VLE_ITER)
-
-    # iterates stay on their branch: rho_V below, rho_L above the
-    # inflection density of the van-der-Waals loop (NaN-proof under the
-    # noisier TPU f64 emulation)
-    ln_inf = jnp.log(rho_inf)
+        return (~done) & (it < max_iter)
 
     def body(state):
         lvl, it, done = state
@@ -251,9 +288,9 @@ def pure_vle(p: PureParams, temperature):
         # exit on step size or on residuals at the acceptance level
         # (the absolute term covers the liquid-pressure cancellation noise)
         res_ok = (
-            jnp.abs(r1) < 1e-9 * jnp.abs(j00) + 1e-13 * jnp.abs(rho[1] * dpt[1])
-        ) & (jnp.abs(r2) < 1e-9)
-        converged = ((jnp.abs(dv) + jnp.abs(dl)) < _STEP_TOL) | res_ok
+            jnp.abs(r1) < res_rtol * jnp.abs(j00) + res_abs * jnp.abs(rho[1] * dpt[1])
+        ) & (jnp.abs(r2) < mu_tol)
+        converged = ((jnp.abs(dv) + jnp.abs(dl)) < step_tol) | res_ok
         step = jnp.clip(jnp.stack([dv, dl]), -0.2, 0.2)
         bad = ~jnp.all(jnp.isfinite(step))
         step = jnp.where(bad, 0.0, step)
@@ -263,8 +300,52 @@ def pure_vle(p: PureParams, temperature):
         lvl_new = jnp.where(done, lvl, new)
         return lvl_new, it + 1, done | converged | bad
 
-    lvl0 = jnp.log(jnp.stack([rho_v0, rho_l0]))
     lvl, _, _ = jax.lax.while_loop(cond, body, (lvl0, 0, jnp.array(False)))
+    return lvl
+
+
+def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
+    """Pure-component vapor-liquid equilibrium at temperature T.
+
+    Replaces ``PhaseEquilibrium::pure`` behind reference src/pcsaft.rs:91.
+    Equilibrium conditions: p~(rho_V) = p~(rho_L) and mu~(rho_V) = mu~(rho_L)
+    solved by a damped 2x2 Newton iteration in (ln rho_V, ln rho_L).
+
+    With ``mixed_precision`` (default), the initialization and the bulk of
+    the Newton iterations run in f32 — several times cheaper than the TPU's
+    emulated f64 — followed by a short f64 polish (quadratic convergence
+    from ~1e-5 needs ~3 iterations); final acceptance is always f64.  Rows
+    whose f32 phase went astray simply enter the f64 phase from a worse
+    point and either recover or are masked.
+
+    Returns ``(rho_v, rho_l, ok)``; supercritical rows are masked.
+    """
+    if mixed_precision:
+        f32 = jnp.float32
+        p32 = PureParams(*(x.astype(f32) for x in p))
+        t32 = temperature.astype(f32)
+        # f32 pressure-residual noise near the spinodal far exceeds the f64
+        # acceptance ratio; the polish re-verifies everything in f64
+        lvl0, ln_inf, ok_l, supercritical = _vle_init(
+            p32, t32, step_tol=1e-5, res_tol=3e-3
+        )
+        lvl0 = _vle_newton(
+            p32, t32, lvl0, ln_inf, max_iter=_MAX_VLE_ITER, step_tol=1e-5,
+            res_rtol=1e-5, res_abs=1e-7, mu_tol=1e-4,
+        )
+        lvl0 = lvl0.astype(p.m.dtype)
+        ln_inf = ln_inf.astype(p.m.dtype)
+        polish_iter = 15
+    else:
+        lvl0, ln_inf, ok_l, supercritical = _vle_init(
+            p, temperature, step_tol=_STEP_TOL
+        )
+        polish_iter = _MAX_VLE_ITER
+
+    lvl = _vle_newton(
+        p, temperature, lvl0, ln_inf, max_iter=polish_iter, step_tol=_STEP_TOL,
+        res_rtol=1e-9, res_abs=1e-13, mu_tol=1e-9,
+    )
     rho = jnp.exp(lvl)
     rho_v, rho_l = rho[0], rho[1]
 
