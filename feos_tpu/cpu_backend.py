@@ -1,0 +1,105 @@
+"""ctypes bindings for the native CPU solver backend (csrc/pcsaft_cpu.cpp).
+
+The framework's analogue of the reference's Rust/pyo3 extension module
+(reference src/lib.rs:10-16 exporting ``PcSaft``): batched gradient-free
+pure-component solvers running OpenMP-parallel on the host.  The TPU
+production path never calls this — it exists for CPU-only deployments and
+as an independent implementation for cross-validating the JAX solvers.
+
+The shared library is built on first use (``make -C csrc``); all entry
+points raise ``RuntimeError`` with the build log if no C++ toolchain is
+available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from .units import PA_PER_KT_TO_REDUCED
+
+_CSRC = Path(__file__).resolve().parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libfeos_cpu.so"
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists():
+        proc = subprocess.run(
+            ["make", "-C", str(_CSRC)], capture_output=True, text=True
+        )
+        if proc.returncode != 0 or not _LIB_PATH.exists():
+            raise RuntimeError(
+                f"failed to build native backend:\n{proc.stdout}\n{proc.stderr}"
+            )
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    dp = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.feos_vapor_pressure.argtypes = [dp, dp, ctypes.c_int64, dp, u8]
+    lib.feos_liquid_density.argtypes = [dp, dp, dp, ctypes.c_int64, dp, u8]
+    lib.feos_derivatives.argtypes = [dp, dp, dp, ctypes.c_int64, dp]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except (RuntimeError, OSError):
+        return False
+
+
+def vapor_pressure_densities(parameters, temperature):
+    """Batched VLE solve: returns ``(rho (n, 2) [rho_V, rho_L] in A^-3, ok)``.
+
+    Mirrors the native contract of reference src/pcsaft.rs:82-103 with
+    fixed-shape NaN-filled outputs instead of compaction.
+    """
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    n = temperature.shape[0]
+    rho = np.empty((n, 2), dtype=np.float64)
+    ok = np.empty(n, dtype=np.uint8)
+    lib.feos_vapor_pressure(parameters, temperature, n, rho, ok)
+    return rho, ok.astype(bool)
+
+
+def liquid_density_reduced(parameters, temperature, pressure):
+    """Batched NPT liquid solve: returns ``(rho (n,) in A^-3, ok)``.
+
+    ``pressure`` in Pa (converted to reduced units internally, as the
+    reference does at feos_torch/pcsaft_pure.py:196).
+    """
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    p_red = np.ascontiguousarray(
+        np.asarray(pressure, dtype=np.float64)
+        / temperature
+        * PA_PER_KT_TO_REDUCED
+    )
+    n = temperature.shape[0]
+    rho = np.empty(n, dtype=np.float64)
+    ok = np.empty(n, dtype=np.uint8)
+    lib.feos_liquid_density(parameters, temperature, p_red, n, rho, ok)
+    return rho, ok.astype(bool)
+
+
+def derivatives(parameters, temperature, density):
+    """Batched (phi, p~, dp~/drho) — cross-validation hook."""
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    density = np.ascontiguousarray(density, dtype=np.float64)
+    n = temperature.shape[0]
+    out = np.empty((n, 3), dtype=np.float64)
+    lib.feos_derivatives(parameters, temperature, density, n, out)
+    return out[:, 0], out[:, 1], out[:, 2]
