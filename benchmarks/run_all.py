@@ -1,0 +1,176 @@
+"""All BASELINE.json benchmark configs (one JSON line each).
+
+``bench.py`` at the repo root reports the single north-star metric (config
+5); this script covers the full list from BASELINE.md:
+
+1. PcSaftPure.vapor_pressure, README 5-temperature batch + backward grad
+2. PcSaftPure liquid_density + equilibrium_liquid_density property table
+3. PcSaftMix binary bubble/dew with kij
+4. gc-PC-SAFT heterosegmented bubble/dew
+5. Large-scale regression batch: vapor pressure + density gradients
+   w.r.t. all 8 parameters (the headline; also in bench.py)
+
+Run:  python benchmarks/run_all.py            (all configs)
+      python benchmarks/run_all.py 1 3        (subset)
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _timeit(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.time() - t0) / reps, out
+
+
+def report(name, value, unit, **extra):
+    print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit, **extra}))
+
+
+def config1():
+    """README vapor-pressure batch + full backward (latency)."""
+    from feos_tpu.models.pcsaft_pure import vapor_pressure
+
+    params = jnp.asarray(np.tile([1.5, 3.5, 250.0, 0, 0.03, 1500.0, 1, 1], (5, 1)))
+    T = jnp.array([250.0, 300.0, 350.0, 400.0, 450.0])
+
+    @jax.jit
+    def fwd_bwd(p, T):
+        def f(p):
+            nans, vp = vapor_pressure(p, T)
+            return jnp.sum(jnp.where(nans, 0.0, vp)), nans
+
+        (val, nans), g = jax.value_and_grad(f, has_aux=True)(p)
+        return val, g
+
+    dt, _ = _timeit(fwd_bwd, params, T)
+    report("readme_vp_batch5_fwd_bwd_latency", dt * 1e3, "ms")
+
+
+def config2():
+    """Pure property table: vp + liquid density + equilibrium density."""
+    from feos_tpu.models.pcsaft_pure import (
+        equilibrium_liquid_density, liquid_density, vapor_pressure,
+    )
+
+    params = jnp.asarray(
+        np.array(
+            [
+                [1.5, 3.2, 350, 0, 0, 0, 0, 0],
+                [1.5, 3.2, 150, 2.5, 0.03, 2500, 2, 1],
+                [1.5, 3.2, 150, 2.5, 0, 2500, 1, 1],
+                [1.5, 3.2, 150, 2.5, 0.03, 0, 1, 1],
+                [1.5, 3.2, 150, 2.5, 0, 0, 0, 0],
+                [1.5, 3.2, 150, 2.5, 0.03, 2500, 0, 2],
+            ]
+        )
+    )
+    T = jnp.full((6,), 300.0)
+    p = jnp.full((6,), 1e5)
+
+    @jax.jit
+    def table(params, T, p):
+        return (
+            vapor_pressure(params, T),
+            liquid_density(params, T, p),
+            equilibrium_liquid_density(params, T),
+        )
+
+    dt, out = _timeit(table, params, T, p)
+    report("pure_property_table_latency", dt * 1e3, "ms")
+
+
+def config3():
+    """Binary bubble + dew points with kij (reference test conditions)."""
+    from feos_tpu.models import pcsaft_mix as M
+
+    B = int(os.environ.get("BENCH_MIX_BATCH", 1024))
+    params = jnp.asarray(
+        np.tile(
+            [[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500, 1, 1]],
+            (B, 1, 1),
+        )
+    )
+    kij = jnp.asarray(np.tile([-0.15, 1000.0], (B, 1)))
+    T = jnp.linspace(140.0, 160.0, B)
+    x = jnp.full((B,), 0.5)
+    p0 = jnp.full((B,), 1e5)
+
+    bubble = jax.jit(M.bubble_point)
+    dew = jax.jit(M.dew_point)
+    dtb, (pb, nb) = _timeit(bubble, params, kij, T, x, p0, reps=3)
+    dtd, (pd, nd) = _timeit(dew, params, kij, T, x, p0, reps=3)
+    okb = int(jnp.sum(~nb))
+    okd = int(jnp.sum(~nd))
+    report("mix_bubble_points_per_sec", okb / dtb, "1/s", converged_frac=okb / B)
+    report("mix_dew_points_per_sec", okd / dtd, "1/s", converged_frac=okd / B)
+
+
+def config4():
+    """gc-PC-SAFT bubble/dew (sauer2014 parameters, butane/propane)."""
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = json.loads(
+        (Path(__file__).resolve().parent.parent / "tests" / "sauer2014_hetero.json")
+        .read_text()
+    )
+    ident = [r["identifier"] for r in segs]
+    col = lambda k: np.array([r["model_record"].get(k, 0) for r in segs])
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab", "epsilon_k_ab", "na", "nb"]
+    )
+    B = int(os.environ.get("BENCH_GC_BATCH", 256))
+    eos = GcPcSaftMix(
+        ident,
+        parameter,
+        [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * B,
+        [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * B,
+        [("CH3", "CH2", -0.15)],
+        np.tile([1.1, 0.98], (B, 1)),
+    )
+    T = jnp.linspace(140.0, 160.0, B)
+    x = jnp.full((B,), 0.5)
+    p0 = jnp.full((B,), 1e5)
+    dtb, (pb, nb) = _timeit(lambda: eos.bubble_point(T, x, p0), reps=3)
+    okb = int(jnp.sum(~nb))
+    report("gc_bubble_points_per_sec", okb / dtb, "1/s", converged_frac=okb / B)
+
+
+def config5():
+    """North-star throughput (same as bench.py)."""
+    import bench
+
+    bench.main()
+
+
+def main():
+    picks = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+    for k in picks:
+        fns[k]()
+
+
+if __name__ == "__main__":
+    main()

@@ -28,10 +28,15 @@ from .models.pcsaft_pure import liquid_density, vapor_pressure
 
 
 def masked_relative_sse(pred, target, ok):
-    """Mean of ((pred - target)/target)^2 over converged rows."""
+    """Mean of ((pred - target)/target)^2 over converged rows.
+
+    Returns +inf when no row converged — a silent 0 would make a fully
+    diverged parameter vector look like a perfect fit.
+    """
     rel = jnp.where(ok, (pred - target) / target, 0.0)
-    n_ok = jnp.maximum(jnp.sum(ok), 1)
-    return jnp.sum(rel * rel) / n_ok
+    n_ok = jnp.sum(ok)
+    loss = jnp.sum(rel * rel) / jnp.maximum(n_ok, 1)
+    return jnp.where(n_ok > 0, loss, jnp.inf)
 
 
 def pure_loss(parameters, temperature, p_sat=None, rho_liq=None, pressure=None):
@@ -73,13 +78,23 @@ def fit_pure(
     With ``mesh`` given (a 1-D ``jax.sharding.Mesh``), the data batch is
     sharded across devices and the parameter gradients all-reduce — standard
     data parallelism over ICI.
+
+    Optimization runs on *scaled* parameters z = params / |params_0| (zeros
+    scale to 1) so a single learning rate is meaningful across parameters
+    spanning five orders of magnitude (epsilon_k ~ 250 vs kappa_ab ~ 0.03),
+    and the optimizer is wrapped in ``optax.apply_if_finite`` so steps whose
+    gradients are non-finite (e.g. a parameter excursion where no row
+    converges) are skipped instead of poisoning the state.
     """
     if optimizer is None:
-        optimizer = optax.adam(1e-3)
-    params = jnp.asarray(initial_parameters, dtype=jnp.float64)
+        optimizer = optax.adam(1e-2)
+    optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=20)
+    params0 = jnp.asarray(initial_parameters, dtype=jnp.float64)
+    scale = jnp.where(params0 != 0.0, jnp.abs(params0), 1.0)
+    params = params0 / scale
     temperature = jnp.asarray(temperature, dtype=jnp.float64)
 
-    loss_fn = lambda p: pure_loss(p, temperature, p_sat, rho_liq, pressure)
+    loss_fn = lambda z: pure_loss(z * scale, temperature, p_sat, rho_liq, pressure)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -94,7 +109,8 @@ def fit_pure(
         if pressure is not None:
             pressure = jax.device_put(jnp.asarray(pressure), batch_sh)
         params = jax.device_put(params, repl)
-        loss_fn = lambda p: pure_loss(p, temperature, p_sat, rho_liq, pressure)
+        scale = jax.device_put(scale, repl)
+        loss_fn = lambda z: pure_loss(z * scale, temperature, p_sat, rho_liq, pressure)
 
     opt_state = optimizer.init(params)
 
@@ -109,4 +125,4 @@ def fit_pure(
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state)
         losses.append(loss)
-    return FitResult(params, jnp.stack(losses))
+    return FitResult(params * scale, jnp.stack(losses))
