@@ -1,0 +1,115 @@
+"""Reference-compatible facade (drop-in migration layer).
+
+The reference exposes its native solver backend as static-method classes
+with a *compaction* convention: converged rows only, plus a full-length
+boolean failure mask (``PcSaft.vapor_pressure`` -> ``(densities[B_ok, 4],
+nans[B])``, reference src/pcsaft.rs:17-80; re-exported at
+feos_torch/__init__.py:1).  The TPU-native API instead returns fixed-shape
+NaN-masked outputs (jit-compatible).  This module reproduces the
+reference's exact host-side contract on top of the JAX solvers so existing
+feos-torch code can migrate mechanically:
+
+    from feos_tpu.compat import PcSaft
+    densities, nans = PcSaft.vapor_pressure(params, temperature)
+
+Outputs are numpy arrays computed on the default JAX device; shapes follow
+the reference (compacted rows, 4 columns with the reduced vapor/liquid
+densities in columns 0/1 for the pure solver).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.pcsaft_mix import MixParams, phi_mix
+from .models.pcsaft_pure import PureParams
+from .units import PA_PER_KT_TO_REDUCED
+
+
+class PcSaft:
+    """Static batched solvers with the reference's return conventions
+    (reference src/pcsaft.rs:13-80)."""
+
+    @staticmethod
+    def vapor_pressure(parameters, temperature):
+        """-> (densities[B_ok, 4] with [rho_V, rho_L, 0, 0] reduced, nans[B])."""
+        from .solvers.vle import pure_vle
+
+        p = PureParams.from_array(np.asarray(parameters, dtype=np.float64))
+        t = jnp.asarray(temperature, dtype=jnp.float64)
+        rv, rl, ok = jax.jit(jax.vmap(pure_vle))(p, t)
+        ok = np.asarray(ok)
+        out = np.zeros((int(ok.sum()), 4))
+        out[:, 0] = np.asarray(rv)[ok]
+        out[:, 1] = np.asarray(rl)[ok]
+        return out, ~ok
+
+    @staticmethod
+    def liquid_density(parameters, temperature, pressure):
+        """-> (densities[B_ok] reduced, nans[B]); pressure in Pa."""
+        from .solvers.vle import npt_density
+
+        p = PureParams.from_array(np.asarray(parameters, dtype=np.float64))
+        t = jnp.asarray(temperature, dtype=jnp.float64)
+        p_red = jnp.asarray(pressure, dtype=jnp.float64) / t * PA_PER_KT_TO_REDUCED
+        rho, ok = jax.jit(
+            jax.vmap(lambda pi, ti, pr: npt_density(pi, ti, pr, liquid=True))
+        )(p, t, p_red)
+        ok = np.asarray(ok)
+        return np.asarray(rho)[ok], ~ok
+
+    @staticmethod
+    def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure):
+        """-> (densities[B_ok, 4] = [rho_V_1, rho_V_2, rho_L_1, rho_L_2], nans[B])
+        (packing as reference src/pcsaft.rs:216-231)."""
+        return _binary_vle(
+            parameters, kij, temperature, liquid_molefracs, pressure, bubble=True
+        )
+
+    @staticmethod
+    def dew_point(parameters, kij, temperature, vapor_molefracs, pressure):
+        """Mirror of ``bubble_point`` for a known vapor composition."""
+        return _binary_vle(
+            parameters, kij, temperature, vapor_molefracs, pressure, bubble=False
+        )
+
+
+def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
+    from .solvers.vle import mix_vle
+
+    parameters = np.asarray(parameters, dtype=np.float64)
+    kij = (
+        np.zeros((parameters.shape[0], 2))
+        if kij is None
+        else np.asarray(kij, dtype=np.float64)
+    )
+    p = MixParams.from_array(parameters)
+    t = jnp.asarray(temperature, dtype=jnp.float64)
+    x = jnp.asarray(molefracs, dtype=jnp.float64)
+    p_red = jnp.asarray(pressure, dtype=jnp.float64) / t * PA_PER_KT_TO_REDUCED
+
+    def item(pi, ki, ei, ti, xi, pr):
+        z = jnp.stack([xi, 1.0 - xi])
+        d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / ti))
+        m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        return mix_vle(
+            lambda r: phi_mix(pi, ki, ei, ti, r), z, pr, m_eff_d3,
+            incipient_is_vapor=bubble,
+        )
+
+    rho_inc, rho_bulk, ok = jax.jit(jax.vmap(item))(
+        p, jnp.asarray(kij[:, 0]), jnp.asarray(kij[:, 1]), t, x, p_red
+    )
+    ok = np.asarray(ok)
+    rho_inc = np.asarray(rho_inc)[ok]
+    rho_bulk = np.asarray(rho_bulk)[ok]
+    out = np.zeros((rho_inc.shape[0], 4))
+    if bubble:  # incipient phase is the vapor
+        out[:, 0:2] = rho_inc
+        out[:, 2:4] = rho_bulk
+    else:
+        out[:, 0:2] = rho_bulk
+        out[:, 2:4] = rho_inc
+    return out, ~ok
