@@ -22,5 +22,5 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the solver graphs are large (nested Newton
 # loops under vmap/jit); caching amortizes compile time across test runs.
-jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
