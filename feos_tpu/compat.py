@@ -94,14 +94,25 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
         z = jnp.stack([xi, 1.0 - xi])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / ti))
         m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        f32 = jnp.float32
+        pi32 = MixParams(*(v.astype(f32) for v in pi))
         return mix_vle(
             lambda r: phi_mix(pi, ki, ei, ti, r), z, pr, m_eff_d3,
             incipient_is_vapor=bubble,
+            phi_fn32=lambda r: phi_mix(
+                pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32), r
+            ),
         )
 
-    rho_inc, rho_bulk, ok = jax.jit(jax.vmap(item))(
+    rho_inc, rho_bulk, ok, _ = jax.jit(jax.vmap(item))(
         p, jnp.asarray(kij[:, 0]), jnp.asarray(kij[:, 1]), t, x, p_red
     )
+    return _pack_binary(rho_inc, rho_bulk, ok, bubble)
+
+
+def _pack_binary(rho_inc, rho_bulk, ok, bubble):
+    """Compact converged rows into the reference's (B_ok, 4) layout
+    [rho_V_1, rho_V_2, rho_L_1, rho_L_2] (reference src/pcsaft.rs:216-231)."""
     ok = np.asarray(ok)
     rho_inc = np.asarray(rho_inc)[ok]
     rho_bulk = np.asarray(rho_bulk)[ok]
@@ -113,3 +124,59 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
         out[:, 0:2] = rho_bulk
         out[:, 2:4] = rho_inc
     return out, ~ok
+
+
+class GcPcSaft:
+    """Stateful gc solver facade with the reference's constructor and
+    return conventions (reference src/gc_pcsaft.rs:15-171; re-exported at
+    feos_torch/__init__.py:1).
+
+    ``segment_records`` is a list of ``(name, array8)`` tuples with the
+    8-vector ``[m, sigma, epsilon_k, mu, kappa_ab, epsilon_k_ab, na, nb]``
+    (reference src/gc_pcsaft.rs:26-49); ``segments``/``bonds`` are per-item
+    pairs of segment-name lists / bond index-pair lists, ``phi`` the (B, 2)
+    dispersion correction matrix.
+    """
+
+    def __init__(self, segment_records, segments, bonds, binary_segment_records, phi):
+        from .models.gc_pcsaft import assemble
+
+        names = [name for name, _ in segment_records]
+        cols = np.stack([np.asarray(rec, dtype=np.float64) for _, rec in segment_records])
+        parameter = tuple(cols[:, i] for i in range(8))
+        self.params = assemble(
+            names, parameter, segments, bonds, binary_segment_records, phi
+        )
+
+    def _solve(self, temperature, molefracs, pressure, bubble):
+        from .models.gc_pcsaft import _GC_BATCH_AXES, phi_gc
+        from .solvers.vle import mix_vle
+
+        t = jnp.asarray(temperature, dtype=jnp.float64)
+        x = jnp.asarray(molefracs, dtype=jnp.float64)
+        p_red = jnp.asarray(pressure, dtype=jnp.float64) / t * PA_PER_KT_TO_REDUCED
+
+        def item(g, ti, xi, pr):
+            z = jnp.stack([xi, 1.0 - xi])
+            d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / ti))
+            m_eff_d3 = jnp.sum(z * (g.m @ (d**3)))
+            f32 = jnp.float32
+            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            return mix_vle(
+                lambda r: phi_gc(g, ti, r), z, pr, m_eff_d3,
+                incipient_is_vapor=bubble,
+                phi_fn32=lambda r: phi_gc(g32, ti.astype(f32), r),
+            )
+
+        rho_inc, rho_bulk, ok, _ = jax.jit(
+            jax.vmap(item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))
+        )(self.params, t, x, p_red)
+        return _pack_binary(rho_inc, rho_bulk, ok, bubble)
+
+    def bubble_point(self, temperature, liquid_molefracs, pressure):
+        """-> (densities[B_ok, 4] = [rho_V_1, rho_V_2, rho_L_1, rho_L_2], nans[B])."""
+        return self._solve(temperature, liquid_molefracs, pressure, bubble=True)
+
+    def dew_point(self, temperature, vapor_molefracs, pressure):
+        """Mirror of ``bubble_point`` for a known vapor composition."""
+        return self._solve(temperature, vapor_molefracs, pressure, bubble=False)

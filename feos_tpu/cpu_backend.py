@@ -44,6 +44,10 @@ def _load():
     lib.feos_vapor_pressure.argtypes = [dp, dp, ctypes.c_int64, dp, u8]
     lib.feos_liquid_density.argtypes = [dp, dp, dp, ctypes.c_int64, dp, u8]
     lib.feos_derivatives.argtypes = [dp, dp, dp, ctypes.c_int64, dp]
+    lib.feos_mix_vle.argtypes = [
+        dp, dp, dp, dp, dp, ctypes.c_int64, ctypes.c_int32, dp, dp, u8
+    ]
+    lib.feos_mix_derivatives.argtypes = [dp, dp, dp, dp, ctypes.c_int64, dp]
     _lib = lib
     return lib
 
@@ -103,3 +107,58 @@ def derivatives(parameters, temperature, density):
     out = np.empty((n, 3), dtype=np.float64)
     lib.feos_derivatives(parameters, temperature, density, n, out)
     return out[:, 0], out[:, 1], out[:, 2]
+
+
+def mix_vle_densities(parameters, kij, temperature, molefracs, pressure, bubble):
+    """Batched binary bubble/dew solve — the oracle for the JAX mixture VLE.
+
+    ``parameters`` (n, 2, 8), ``kij`` (n, 2) = [k_ij, eps_k_AiBj] (or None),
+    ``pressure`` the initial estimate in Pa.  Returns ``(rho (n, 4) =
+    [rho_V_1, rho_V_2, rho_L_1, rho_L_2] in A^-3, p (n,) solved pressure in
+    Pa, ok (n,))`` — the reference native contract (src/pcsaft.rs:150-214)
+    with fixed-shape NaN-filled outputs plus the equilibrium pressure.
+    """
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    n = parameters.shape[0]
+    kij = (
+        np.zeros((n, 2))
+        if kij is None
+        else np.ascontiguousarray(kij, dtype=np.float64)
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    molefracs = np.ascontiguousarray(molefracs, dtype=np.float64)
+    p0_red = np.ascontiguousarray(
+        np.asarray(pressure, dtype=np.float64)
+        / temperature
+        * PA_PER_KT_TO_REDUCED
+    )
+    rho = np.empty((n, 4), dtype=np.float64)
+    pt = np.empty(n, dtype=np.float64)
+    ok = np.empty(n, dtype=np.uint8)
+    lib.feos_mix_vle(
+        parameters, kij, temperature, molefracs, p0_red, n,
+        1 if bubble else 0, rho, pt, ok,
+    )
+    p_pa = pt * temperature / PA_PER_KT_TO_REDUCED
+    return rho, p_pa, ok.astype(bool)
+
+
+def mix_derivatives(parameters, kij, temperature, density):
+    """Batched mixture (phi, p~, mu_1, mu_2) — cross-validation hook.
+
+    ``mu_i`` are *total* reduced chemical potentials (residual + ln rho_i).
+    """
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    n = parameters.shape[0]
+    kij = (
+        np.zeros((n, 2))
+        if kij is None
+        else np.ascontiguousarray(kij, dtype=np.float64)
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    density = np.ascontiguousarray(density, dtype=np.float64)
+    out = np.empty((n, 4), dtype=np.float64)
+    lib.feos_mix_derivatives(parameters, kij, temperature, density, n, out)
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]

@@ -28,14 +28,17 @@ def pair_integral(mij1, mij2, etas, eps_ij_t):
 
     ``etas`` is the (7,) vector of eta powers [1, eta, ..., eta^6].
     """
-    a = AD[:, 0] + mij1 * AD[:, 1] + mij2 * AD[:, 2]
-    b = BD[:, 0] + mij1 * BD[:, 1] + mij2 * BD[:, 2]
+    cAD = jnp.asarray(AD, dtype=etas.dtype)
+    cBD = jnp.asarray(BD, dtype=etas.dtype)
+    a = cAD[:, 0] + mij1 * cAD[:, 1] + mij2 * cAD[:, 2]
+    b = cBD[:, 0] + mij1 * cBD[:, 1] + mij2 * cBD[:, 2]
     return jnp.dot(eps_ij_t * b + a, etas[:5])
 
 
 def triplet_integral(mijk1, mijk2, etas):
     """Dipole triplet integral J3 (reference feos_torch/pcsaft_mix.py:493-497)."""
-    return jnp.dot(CD[:, 0] + mijk1 * CD[:, 1] + mijk2 * CD[:, 2], etas[:4])
+    cCD = jnp.asarray(CD, dtype=etas.dtype)
+    return jnp.dot(cCD[:, 0] + mijk1 * cCD[:, 1] + mijk2 * cCD[:, 2], etas[:4])
 
 
 def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):

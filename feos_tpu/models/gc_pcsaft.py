@@ -172,6 +172,10 @@ def phi_gc(g: GcParams, temperature, density):
     """
     rho = density
     n = g.m.shape[0]
+    # universal constants cast to the working dtype (f32 solver warmup phase)
+    dtype = jnp.result_type(rho)
+    cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
+    cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
 
     d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / temperature))  # (S,)
 
@@ -216,7 +220,7 @@ def phi_gc(g: GcParams, temperature, density):
         jnp.sqrt(eps_seg[None, None, :, :] * phi_pair[:, :, None, None])
         / temperature
     )
-    offdiag = 1.0 - jnp.eye(n)
+    offdiag = 1.0 - jnp.eye(n, dtype=dtype)
     eps_ab = eps_ab * (1.0 - g.kab[None, None, :, :] * offdiag[:, :, None, None])
     sigma_ab = (0.5 * (g.sigma[:, None] + g.sigma[None, :])) ** 3  # (S, S)
     m_ab = g.m[:, None, :, None] * g.m[None, :, None, :]  # (n, n, S, S)
@@ -227,8 +231,8 @@ def phi_gc(g: GcParams, temperature, density):
 
     m1 = (mmean - 1.0) / mmean
     m2 = m1 * (mmean - 2.0) / mmean
-    I1 = jnp.dot(m2 * A2 + m1 * A1 + A0, etas)
-    I2 = jnp.dot(m2 * B2 + m1 * B1 + B0, etas)
+    I1 = jnp.dot(m2 * cA2 + m1 * cA1 + cA0, etas)
+    I2 = jnp.dot(m2 * cB2 + m1 * cB1 + cB0, etas)
     C1 = 1.0 / (
         1.0
         + mmean * (8.0 * zeta3 - 2.0 * zeta3_2) * zeta3_m2 * zeta3_m2
@@ -394,7 +398,10 @@ class GcPcSaftMix:
         )
 
     def _incipient(self, temperature, molefracs, pressure, bubble):
-        from ..solvers.vle import mix_vle
+        """Value from the solver's carried state, gradient from the
+        stationary identity with f32 partial molar volumes — see
+        pcsaft_mix._incipient_property for the full rationale."""
+        from ..solvers.vle import _states_eos, mix_vle
 
         temperature = jnp.asarray(temperature, dtype=jnp.float64)
         molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
@@ -402,34 +409,48 @@ class GcPcSaftMix:
         p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
         stop = jax.lax.stop_gradient
         g_stop = jax.tree_util.tree_map(stop, self.params)
+        f32 = jnp.float32
 
         def solve_item(g, t, x1, pr):
             z = jnp.stack([x1, 1.0 - x1])
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
             m_eff_d3 = jnp.sum(z * (g.m @ (d**3)))
+            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            t32 = t.astype(f32)
             return mix_vle(
-                lambda r: phi_gc(g, t, r), z, pr, m_eff_d3, incipient_is_vapor=bubble
+                lambda r: phi_gc(g, t, r), z, pr, m_eff_d3,
+                incipient_is_vapor=bubble,
+                phi_fn32=lambda r: phi_gc(g32, t32, r),
             )
 
-        rho_inc, rho_bulk, ok = jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-            g_stop, stop(temperature), stop(molefracs), stop(p_red)
-        )
-        rho_inc = stop(rho_inc)
-        rho_bulk = stop(rho_bulk)
+        rho_inc, rho_bulk, ok, pt_inc = jax.vmap(
+            solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0)
+        )(g_stop, stop(temperature), stop(molefracs), stop(p_red))
+        # sanitize failed lanes before re-attachment (see pcsaft_mix)
+        rho_inc = jnp.where(ok[:, None], stop(rho_inc), 1e-5)
+        rho_bulk = jnp.where(ok[:, None], stop(rho_bulk), 1e-3)
+        pt_inc = jnp.where(ok, stop(pt_inc), 1.0)
 
         def attach(g, t, r_inc, r_bulk):
             phi_fn = lambda r: phi_gc(g, t, r)
-            _, p_b, mu_b, v_b = pressure_set(phi_fn, r_bulk)
+            p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
+            p_b = p_b[0]
+            mu_b = jnp.log(r_bulk) + g_b[0]
+            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            v_b = pressure_set(
+                lambda r: phi_gc(g32, t.astype(f32), r), r_bulk.astype(f32)
+            )[3].astype(jnp.float64)
             rho_inc_t = jnp.sum(r_inc)
             w = r_inc / rho_inc_t
             a_inc = phi_fn(r_inc) / rho_inc_t
             v_bulk = jnp.sum(w * v_b)
-            g_bulk = jnp.sum(w * (jnp.log(r_inc / r_bulk) - mu_b))
+            g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
             return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
-        p_red_out = jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+        p_red_ident = jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
             self.params, temperature, rho_inc, rho_bulk
         )
+        p_red_out = pt_inc + (p_red_ident - stop(p_red_ident))
         pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
         return jnp.where(ok, pressure_out, jnp.nan), ~ok
 

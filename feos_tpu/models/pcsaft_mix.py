@@ -70,6 +70,12 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density):
     m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
     rho = density
     n = m.shape[0]
+    # universal constants cast to the working dtype: the solvers run a
+    # reduced-precision (f32) warmup phase, and numpy f64 constants would
+    # silently promote everything back to f64
+    dtype = jnp.result_type(rho)
+    cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
+    cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
 
     d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
 
@@ -115,8 +121,8 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density):
 
     m1 = (mmean - 1.0) / mmean
     m2 = m1 * (mmean - 2.0) / mmean
-    I1 = jnp.dot(m2 * A2 + m1 * A1 + A0, etas)
-    I2 = jnp.dot(m2 * B2 + m1 * B1 + B0, etas)
+    I1 = jnp.dot(m2 * cA2 + m1 * cA1 + cA0, etas)
+    I2 = jnp.dot(m2 * cB2 + m1 * cB1 + cB0, etas)
     C1 = 1.0 / (
         1.0
         + mmean * (8.0 * zeta3 - 2.0 * zeta3_2) * zeta3_m2 * zeta3_m2
@@ -286,15 +292,24 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
     """Shared bubble/dew implementation with stationary re-attachment.
 
     Solve (stop-gradient) for the coexisting partial densities, then
-    evaluate the stationary pressure identity
+    re-attach parameter gradients through the stationary pressure identity
     (reference feos_torch/pcsaft_mix.py:435-443 and :459-467):
 
         p~ = -(a_bulk' + p~_bulk v_bulk + g_bulk - 1) / (1/rho_inc - v_bulk)
 
     where 'bulk' is the phase with known composition (liquid for bubble,
     vapor for dew) and 'inc' the incipient phase.
+
+    The *value* comes from the solver's carried residual state (p~ at the
+    converged incipient state, exact to the 1e-9 solve tolerance); the
+    identity only supplies the *gradient* (value-stationarity makes it
+    exact w.r.t. the stopped densities).  That split lets the partial
+    molar volumes v_bulk — the only second-derivative quantity — be
+    computed through the f32 parameter closure: a ~1e-7-relative gradient
+    perturbation, while removing all second-order f64 graphs from the
+    program (the dominant TPU compile cost; see solvers/vle.py).
     """
-    from ..solvers.vle import mix_vle
+    from ..solvers.vle import _states_eos, mix_vle
 
     p = MixParams.from_array(parameters)
     kv, ev = _split_kij(kij, jnp.shape(parameters)[0])
@@ -303,34 +318,56 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
     pressure = jnp.asarray(pressure, dtype=jnp.float64)
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
+    f32 = jnp.float32
+
     def solve_item(pi, ki, ei, t, x1, pr):
         z = jnp.stack([x1, 1.0 - x1])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
         m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        pi32 = MixParams(*(v.astype(f32) for v in pi))
+        ki32, ei32, t32 = ki.astype(f32), ei.astype(f32), t.astype(f32)
         return mix_vle(
             lambda r: phi_mix(pi, ki, ei, t, r), z, pr, m_eff_d3,
             incipient_is_vapor=bubble,
+            phi_fn32=lambda r: phi_mix(pi32, ki32, ei32, t32, r),
         )
 
     stop = jax.lax.stop_gradient
-    rho_inc, rho_bulk, ok = jax.vmap(solve_item)(
+    rho_inc, rho_bulk, ok, pt_inc = jax.vmap(solve_item)(
         jax.tree_util.tree_map(stop, p), stop(kv), stop(ev),
         stop(temperature), stop(molefracs), stop(p_red),
     )
-    rho_inc = stop(rho_inc)
-    rho_bulk = stop(rho_bulk)
+    # sanitize failed lanes before re-attachment: NaN/0 densities would make
+    # the attach derivatives NaN, which no downstream masking can repair
+    rho_inc = jnp.where(ok[:, None], stop(rho_inc), 1e-5)
+    rho_bulk = jnp.where(ok[:, None], stop(rho_bulk), 1e-3)
+    pt_inc = jnp.where(ok, stop(pt_inc), 1.0)
 
     def attach(pi, ki, ei, t, r_inc, r_bulk):
         phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
-        _, p_b, mu_b, v_b = pressure_set(phi_fn, r_bulk)
+        # first-order f64: p~_bulk and mu~_bulk
+        p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
+        p_b = p_b[0]
+        mu_b = jnp.log(r_bulk) + g_b[0]
+        # second-order quantity (partial molar volumes) via the f32
+        # parameter closure — gradient-only path, see docstring
+        pi32 = MixParams(*(v.astype(f32) for v in pi))
+        v_b32 = pressure_set(
+            lambda r: phi_mix(pi32, ki.astype(f32), ei.astype(f32),
+                              t.astype(f32), r),
+            r_bulk.astype(f32),
+        )[3]
+        v_b = v_b32.astype(jnp.float64)
         rho_inc_t = jnp.sum(r_inc)
         w = r_inc / rho_inc_t
         a_inc = phi_fn(r_inc) / rho_inc_t
         v_bulk = jnp.sum(w * v_b)
-        g_bulk = jnp.sum(w * (jnp.log(r_inc / r_bulk) - mu_b))
+        g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
         return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
-    p_red_out = jax.vmap(attach)(p, kv, ev, temperature, rho_inc, rho_bulk)
+    p_red_ident = jax.vmap(attach)(p, kv, ev, temperature, rho_inc, rho_bulk)
+    # value from the solver, gradient from the stationary identity
+    p_red_out = pt_inc + (p_red_ident - stop(p_red_ident))
     pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
     return jnp.where(ok, pressure_out, jnp.nan), ~ok
 

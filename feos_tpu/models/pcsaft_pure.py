@@ -199,8 +199,12 @@ def vapor_pressure(parameters, temperature):
     p = PureParams.from_array(parameters)
     temperature = jnp.asarray(temperature, dtype=jnp.float64)
     rho_v, rho_l, ok = jax.vmap(pure_vle)(_stop(p), jax.lax.stop_gradient(temperature))
-    rho_v = jax.lax.stop_gradient(rho_v)
-    rho_l = jax.lax.stop_gradient(rho_l)
+    # sanitize failed lanes BEFORE re-attachment: a masked-out lane whose
+    # density is NaN/0 would otherwise produce NaN *derivatives*, and the
+    # zero cotangent a downstream jnp.where routes to it cannot repair
+    # 0 * NaN — one failed row in a batch would poison the whole gradient
+    rho_v = jnp.where(ok, jax.lax.stop_gradient(rho_v), 1e-5)
+    rho_l = jnp.where(ok, jax.lax.stop_gradient(rho_l), 1e-3)
 
     def attach(pi, t, rv, rl):
         a_l = phi_pure(pi, t, rl) / rl
@@ -230,7 +234,8 @@ def liquid_density(parameters, temperature, pressure):
     rho, ok = jax.vmap(lambda pi, t, pr: npt_density(pi, t, pr, liquid=True))(
         _stop(p), jax.lax.stop_gradient(temperature), jax.lax.stop_gradient(p_red)
     )
-    rho = jax.lax.stop_gradient(rho)
+    # sanitize failed lanes before re-attachment (see vapor_pressure)
+    rho = jnp.where(ok, jax.lax.stop_gradient(rho), 1e-3)
 
     def attach(pi, t, pr, r):
         _, ptilde, dptilde = pure_derivatives(pi, t, r)
@@ -253,8 +258,9 @@ def equilibrium_liquid_density(parameters, temperature):
     p = PureParams.from_array(parameters)
     temperature = jnp.asarray(temperature, dtype=jnp.float64)
     rho_v, rho_l, ok = jax.vmap(pure_vle)(_stop(p), jax.lax.stop_gradient(temperature))
-    rho_v = jax.lax.stop_gradient(rho_v)
-    rho_l = jax.lax.stop_gradient(rho_l)
+    # sanitize failed lanes before re-attachment (see vapor_pressure)
+    rho_v = jnp.where(ok, jax.lax.stop_gradient(rho_v), 1e-5)
+    rho_l = jnp.where(ok, jax.lax.stop_gradient(rho_l), 1e-3)
 
     def attach(pi, t, rv, rl):
         a_l, p_l, dp_l = pure_derivatives(pi, t, rl)

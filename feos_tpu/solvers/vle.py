@@ -85,6 +85,26 @@ def _eos_pure(p: PureParams, temperature, rho):
     return ptilde, dptilde, mu, dmu
 
 
+def _eos_pure_first(p: PureParams, temperature, rho):
+    """(p~, mu~_tot) only — a first-order graph (no phi'')."""
+    vals, d1 = jax.vmap(
+        lambda r: jax.jvp(
+            lambda rr: phi_pure(p, temperature, rr), (r,), (jnp.ones_like(r),)
+        )
+    )(rho)
+    ptilde = rho - vals + rho * d1
+    mu = d1 + jnp.log(rho)
+    return ptilde, mu
+
+
+def _phi_d2_multi(p: PureParams, temperature, rho):
+    """phi'' for a vector of densities (second-order graph; used in f32
+    for Jacobian assembly)."""
+    return jax.vmap(
+        lambda r: value_and_2derivs(lambda rr: phi_pure(p, temperature, rr), r)[2]
+    )(rho)
+
+
 def _npt_multi_pure(
     p: PureParams, temperature, p_targets, rho0, branch_sign,
     step_tol=_STEP_TOL, res_tol=_RES_RTOL,
@@ -97,20 +117,26 @@ def _npt_multi_pure(
     ``State::new_npt`` (reference src/pcsaft.rs:105-129).  Runs in the
     dtype of its inputs (the VLE wrapper uses an f32 warmup phase).
 
-    Returns ``(rho (k,), ok (k,))`` with residual-based acceptance.
+    The last evaluated (p~, dp~, mu~) is carried in the loop state so that
+    acceptance (and the caller's saturation estimate) need no post-loop
+    re-evaluation — converged rows freeze at the iterate their carried
+    values were computed at.  One (phi, phi', phi'') graph per program.
+
+    Returns ``(rho (k,), ok (k,), mu (k,))`` with residual-based acceptance.
     """
     k = p_targets.shape[0]
+    dtype = p_targets.dtype
     d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
     lr_max = jnp.log(0.74 * 6.0 / (PI * p.m * d**3))  # packing-fraction cap
 
     def cond(state):
-        _, it, done = state
+        _, _, it, done = state
         return jnp.any(~done) & (it < _MAX_NPT_ITER)
 
     def body(state):
-        lr, it, done = state
+        lr, keep, it, done = state
         rho = jnp.exp(lr)
-        ptilde, dptilde, _, _ = _eos_pure_multi(p, temperature, rho)
+        ptilde, dptilde, mu, _ = _eos_pure_multi(p, temperature, rho)
         r = ptilde - p_targets
         dr = rho * dptilde  # d p~ / d ln rho
         newton = r / jnp.where(dr > 0.0, dr, 1.0)
@@ -118,18 +144,25 @@ def _npt_multi_pure(
         converged = (jnp.abs(newton) < step_tol) & (dr > 0.0)
         bad = ~jnp.isfinite(step)
         step = jnp.where(bad, 0.0, step)
-        lr_new = jnp.where(done, lr, jnp.minimum(lr - step, lr_max))
-        return lr_new, it + 1, done | converged | bad
+        freeze = done | converged | bad
+        lr_new = jnp.where(freeze, lr, jnp.minimum(lr - step, lr_max))
+        keep_new = jnp.where(done, keep, jnp.stack([ptilde, dptilde, mu]))
+        return lr_new, keep_new, it + 1, freeze
 
     lr0 = jnp.log(rho0)
-    lr, _, _ = jax.lax.while_loop(cond, body, (lr0, 0, jnp.zeros(k, dtype=bool)))
+    keep0 = jnp.stack(
+        [jnp.full((k,), jnp.inf, dtype), jnp.ones((k,), dtype), jnp.zeros((k,), dtype)]
+    )
+    lr, keep, _, _ = jax.lax.while_loop(
+        cond, body, (lr0, keep0, 0, jnp.zeros(k, dtype=bool))
+    )
     rho = jnp.exp(lr)
-    ptilde, dptilde, _, _ = _eos_pure_multi(p, temperature, rho)
+    ptilde, dptilde, mu = keep[0], keep[1], keep[2]
     resid = jnp.abs(ptilde - p_targets) / jnp.abs(
         rho * jnp.where(dptilde > 0.0, dptilde, 1.0)
     )
     ok = jnp.isfinite(rho) & (dptilde > 0.0) & (resid < res_tol)
-    return rho, ok
+    return rho, ok, mu
 
 
 def npt_density(
@@ -154,7 +187,7 @@ def npt_density(
     if mixed_precision:
         f32 = jnp.float32
         p32 = PureParams(*(x.astype(f32) for x in p))
-        rho32, ok32 = _npt_multi_pure(
+        rho32, ok32, _ = _npt_multi_pure(
             p32,
             temperature.astype(f32),
             p_target.astype(f32)[None],
@@ -164,7 +197,7 @@ def npt_density(
             res_tol=3e-3,
         )
         rho0 = jnp.where(ok32[0], rho32[0].astype(rho0.dtype), rho0)
-    rho, ok = _npt_multi_pure(
+    rho, ok, _ = _npt_multi_pure(
         p,
         temperature,
         p_target[None],
@@ -224,7 +257,7 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
     p_inf, rho_inf, supercritical = _spinodal_estimate(p, temperature)
 
     # lane 0: liquid at vanishing pressure; lane 1: liquid at p_inf
-    rho_init, ok_init = _npt_multi_pure(
+    rho_init, ok_init, mu_init = _npt_multi_pure(
         p,
         temperature,
         jnp.stack([jnp.asarray(1e-10, dtype=dtype), p_inf]),
@@ -237,11 +270,12 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
     rho_l0 = jnp.where(ok_tiny, rho_init[0], rho_init[1])
     ok_l = ok_tiny | ok_init[1]
 
-    _, _, mu_l0, _ = _eos_pure(p, temperature, rho_l0)
-    p_mu = jnp.exp(jnp.clip(mu_l0, -78.0, 78.0))
+    # saturation estimate from the ideal-vapor identity ln p~0 = mu~(rho_L),
+    # with mu carried out of the NPT loop (no extra phi evaluation)
+    p_mu = jnp.exp(jnp.clip(mu_init[0], -78.0, 78.0))
     p0 = jnp.where(ok_tiny, p_mu, p_inf)
 
-    rho_v0, ok_v = _npt_multi_pure(
+    rho_v0, ok_v, _ = _npt_multi_pure(
         p,
         temperature,
         p0[None],
@@ -250,31 +284,63 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
         step_tol=step_tol,
         res_tol=res_tol,
     )
-    rho_v0 = jnp.where(ok_v[0], rho_v0[0], p0)
+    # The vapor density estimate must live in LOG space: strongly
+    # associating fluids far below the normal boiling point have
+    # p~ ~ e^-90, which underflows f32 (and the exp clip above) as a
+    # value.  Where the NPT refinement is usable take its log; otherwise
+    # fall back to the ideal-vapor identity ln rho_V = mu~_tot(rho_L)
+    # directly — mu is ~-90, perfectly representable — which at such
+    # pressures is accurate to O(B2 * rho_V) ~ 1e-38 relative.
+    ln_rho_v0 = jnp.where(
+        ok_v[0] & (p0 > 1e-33) & (rho_v0[0] > 0.0),
+        jnp.log(jnp.where(rho_v0[0] > 0.0, rho_v0[0], 1.0)),
+        jnp.where(ok_tiny, mu_init[0], jnp.log(jnp.maximum(p0, 1e-300))),
+    )
 
-    lvl0 = jnp.log(jnp.stack([rho_v0, rho_l0]))
+    lvl0 = jnp.stack([ln_rho_v0, jnp.log(rho_l0)])
     return lvl0, jnp.log(rho_inf), ok_l, supercritical
 
 
 def _vle_newton(
     p: PureParams, temperature, lvl0, ln_inf, max_iter, step_tol, res_rtol,
-    res_abs, mu_tol,
+    res_abs, mu_tol, jac_params=None,
 ):
     """Damped 2x2 Newton on (ln rho_V, ln rho_L) with branch projection.
 
     Iterates stay on their branch (rho_V below, rho_L above the inflection
     density) — NaN-proof under the noisier TPU f64 emulation; exits on step
-    size or on residuals at the given tolerance level.
+    size or on residuals at the given tolerance level.  The last evaluated
+    (r_p, r_mu, dpt_V, dpt_L) is carried in the loop state (converged rows
+    freeze at the iterate it was computed at), so acceptance needs no
+    post-loop re-evaluation.
+
+    With ``jac_params`` (an f32 ``(params, temperature)`` pair) the
+    curvature phi'' comes from a second-order f32 graph while the residual
+    (pt, mu) stays first-order f64; the 1/rho ideal parts of the Jacobian
+    are assembled in f64, so the scheme stays finite even at vapor
+    densities that underflow f32.  The root is defined by the residual, so
+    Jacobian precision costs at most an extra iteration — but it removes
+    all second-order f64 content, the dominant TPU compile cost.
+
+    Returns ``(lvl, keep)`` with ``keep = [r_p, r_mu, dpt_V, dpt_L]``.
     """
 
     def cond(state):
-        _, it, done = state
+        _, _, it, done = state
         return (~done) & (it < max_iter)
 
     def body(state):
-        lvl, it, done = state
+        lvl, keep, it, done = state
         rho = jnp.exp(lvl)  # (2,) = [rho_V, rho_L]
-        pt, dpt, mu, dmu = _eos_pure_multi(p, temperature, rho)
+        if jac_params is None:
+            pt, dpt, mu, dmu = _eos_pure_multi(p, temperature, rho)
+        else:
+            pt, mu = _eos_pure_first(p, temperature, rho)
+            p32, t32 = jac_params
+            rho32 = jnp.maximum(rho, 1e-35).astype(jnp.float32)
+            d2 = _phi_d2_multi(p32, t32, rho32).astype(lvl.dtype)
+            dpt = 1.0 + rho * d2
+            dmu = d2 + 1.0 / rho
         r1 = pt[0] - pt[1]
         r2 = mu[0] - mu[1]
         j00 = rho[0] * dpt[0]
@@ -297,11 +363,16 @@ def _vle_newton(
         new = lvl - step
         new = new.at[0].set(jnp.minimum(new[0], ln_inf))
         new = new.at[1].set(jnp.maximum(new[1], ln_inf))
-        lvl_new = jnp.where(done, lvl, new)
-        return lvl_new, it + 1, done | converged | bad
+        freeze = done | converged | bad
+        lvl_new = jnp.where(freeze, lvl, new)
+        keep_new = jnp.where(done, keep, jnp.stack([r1, r2, dpt[0], dpt[1]]))
+        return lvl_new, keep_new, it + 1, freeze
 
-    lvl, _, _ = jax.lax.while_loop(cond, body, (lvl0, 0, jnp.array(False)))
-    return lvl
+    keep0 = jnp.full((4,), jnp.inf, dtype=lvl0.dtype)
+    lvl, keep, _, _ = jax.lax.while_loop(
+        cond, body, (lvl0, keep0, 0, jnp.array(False))
+    )
+    return lvl, keep
 
 
 def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
@@ -329,44 +400,45 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
         lvl0, ln_inf, ok_l, supercritical = _vle_init(
             p32, t32, step_tol=1e-5, res_tol=3e-3
         )
-        lvl0 = _vle_newton(
+        lvl0, _ = _vle_newton(
             p32, t32, lvl0, ln_inf, max_iter=_MAX_VLE_ITER, step_tol=1e-5,
             res_rtol=1e-5, res_abs=1e-7, mu_tol=1e-4,
         )
         lvl0 = lvl0.astype(p.m.dtype)
         ln_inf = ln_inf.astype(p.m.dtype)
-        polish_iter = 15
+        polish_iter = 40
+        jac_params = (p32, t32)
     else:
         lvl0, ln_inf, ok_l, supercritical = _vle_init(
             p, temperature, step_tol=_STEP_TOL
         )
         polish_iter = _MAX_VLE_ITER
+        jac_params = None
 
-    lvl = _vle_newton(
+    lvl, keep = _vle_newton(
         p, temperature, lvl0, ln_inf, max_iter=polish_iter, step_tol=_STEP_TOL,
-        res_rtol=1e-9, res_abs=1e-13, mu_tol=1e-9,
+        res_rtol=1e-9, res_abs=1e-13, mu_tol=1e-9, jac_params=jac_params,
     )
     rho = jnp.exp(lvl)
     rho_v, rho_l = rho[0], rho[1]
 
-    # residual-based acceptance; the pressure tolerance carries an absolute
-    # allowance for the f64 cancellation noise of the *liquid* pressure
-    # (terms of magnitude ~rho_l*dp_l), which dominates when the vapor
-    # pressure itself is many orders smaller (strong association at low T)
-    pt, dpt, mu, _ = _eos_pure_multi(p, temperature, rho)
-    p_noise = 1e-13 * jnp.abs(rho_l * dpt[1])
-    res_p_ok = jnp.abs(pt[0] - pt[1]) < (
-        _RES_RTOL * jnp.abs(rho_v * dpt[0]) + p_noise
-    )
-    res_mu = jnp.abs(mu[0] - mu[1])
+    # residual-based acceptance from the carried loop state; the pressure
+    # tolerance carries an absolute allowance for the f64 cancellation noise
+    # of the *liquid* pressure (terms of magnitude ~rho_l*dp_l), which
+    # dominates when the vapor pressure itself is many orders smaller
+    # (strong association at low T)
+    r_p, r_mu, dpt_v, dpt_l = keep[0], keep[1], keep[2], keep[3]
+    p_noise = 1e-13 * jnp.abs(rho_l * dpt_l)
+    res_p_ok = jnp.abs(r_p) < (_RES_RTOL * jnp.abs(rho_v * dpt_v) + p_noise)
     ok = (
         ok_l
         & (~supercritical)
         & jnp.all(jnp.isfinite(rho))
         & res_p_ok
-        & (res_mu < 1e-7)
+        & (jnp.abs(r_mu) < 1e-7)
         & (rho_l > rho_v * (1.0 + 1e-6))
-        & jnp.all(dpt > 0.0)
+        & (dpt_v > 0.0)
+        & (dpt_l > 0.0)
     )
     return rho_v, rho_l, ok
 
@@ -397,11 +469,36 @@ def _states_eos(phi_fn, R):
 
 
 def _val_and_jac(f, u):
-    """Value and Jacobian of f: R^k -> R^k via one vmapped jvp graph."""
+    """Value and Jacobian of f: R^k -> R^j (j >= k) via one vmapped jvp graph.
+
+    Extra output rows beyond ``k`` are auxiliary values (returned in
+    ``vals`` but also present as rows of the (j, k) Jacobian; callers slice).
+    """
     k = u.shape[0]
     eye = jnp.eye(k, dtype=u.dtype)
     vals, cols = jax.vmap(lambda v: jax.jvp(f, (u,), (v,)))(eye)
     return vals[0], cols.T
+
+
+def _states_hess(phi_fn, R):
+    """Hessians d2phi/drho_i drho_j for k stacked states: (k, n, n).
+
+    One nested forward-mode graph; used to assemble Newton Jacobians
+    analytically (products with densities happen OUTSIDE, in the caller's
+    dtype, so an f32 phi closure stays finite even at densities that
+    underflow f32 — the Hessian itself is finite as rho -> 0).
+    """
+    n = R.shape[1]
+    eye = jnp.eye(n, dtype=R.dtype)
+
+    def grad_fn(rho):
+        _, tangs = jax.vmap(lambda v: jax.jvp(phi_fn, (rho,), (v,)))(eye)
+        return tangs
+
+    def one_state(rho):
+        return jax.vmap(lambda v: jax.jvp(grad_fn, (rho,), (v,))[1])(eye)
+
+    return jax.vmap(one_state)(R)
 
 
 def _solve3(J, r):
@@ -429,11 +526,251 @@ def _solve3(J, r):
     return jnp.stack([x0, x1, x2]) / det
 
 
-_N_SS_WARMUP = 8
+_N_SS_WARMUP = 16
 _MAX_MIX_ITER = 80
 
 
-def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
+def _mix_init(phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol):
+    """Initialization for the mixture VLE Newton (one dtype, one phi graph
+    per loop body).
+
+    Stages (each with exactly ONE phi-derivative site — compile-size
+    discipline; a TPU lowering of this program is dominated by the number
+    of distinct phi instantiations, each of which expands ~6x under f64
+    emulation):
+
+    1. static packing-fraction grid scan of p~(rho; z): detects the
+       van-der-Waals loop by *finite differences along the grid* (no extra
+       jvp), caps the caller's pressure estimate at half the vapor-spinodal
+       pressure, and extracts branch-limit densities for Newton projection;
+    2. NPT solves of both phase branches at p0 in one 2-lane Newton loop;
+    3. successive-substitution warmup on the incipient fugacities with a
+       per-iteration bulk re-estimate (dew only), one stacked 2-state phi
+       graph per iteration.
+
+    Returns ``(u0, limits, init_ok)`` with ``u0 = [ln rho_inc (n), ln
+    rho_bulk_t]`` and ``limits = (ln_inc_min, ln_inc_max, ln_bulk_min,
+    ln_bulk_max)``.
+    """
+    n = z.shape[0]
+    dtype = z.dtype
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+    # -- stage 1: grid scan ------------------------------------------------
+    rho_grid = jnp.asarray(_ETA_GRID, dtype=dtype) / eta_factor
+    R_grid = z[None, :] * rho_grid[:, None]
+    pt_grid, _ = _states_eos(phi_fn, R_grid)
+    # mechanical instability between grid points i and i+1 when the
+    # pressure decreases with density (segment-level sign of dp~/drho)
+    unstable = pt_grid[1:] < pt_grid[:-1]
+    has_loop = jnp.any(unstable)
+    seen = jnp.concatenate(
+        [jnp.zeros((1,), bool), jnp.cumsum(unstable.astype(jnp.int32)) > 0]
+    )
+    p_sv = jnp.max(jnp.where(seen, -inf, pt_grid))
+    p0 = jnp.where(has_loop, jnp.minimum(p0, 0.5 * p_sv), p0)
+    p0 = jnp.maximum(p0, jnp.asarray(1e-30, dtype=dtype))
+
+    k_seg = unstable.shape[0]
+    idx = jnp.arange(k_seg)
+    first_u = jnp.min(jnp.where(unstable, idx, k_seg))
+    last_u = jnp.max(jnp.where(unstable, idx, -1))
+    ln_grid = jnp.log(rho_grid)
+    ln_rho_sv = jnp.where(has_loop, ln_grid[jnp.minimum(first_u, k_seg)], inf)
+    ln_rho_sl = jnp.where(has_loop, ln_grid[jnp.minimum(last_u + 1, k_seg)], -inf)
+    if incipient_is_vapor:
+        limits = (-inf, ln_rho_sv, ln_rho_sl, inf)
+    else:
+        limits = (ln_rho_sl, inf, -inf, ln_rho_sv)
+
+    # -- stage 2: branch NPT solves (lane 0 = liquid, lane 1 = vapor) ------
+    def npt_pt(lr):
+        R = z[None, :] * jnp.exp(lr)[:, None]
+        pt, _ = _states_eos(phi_fn, R)
+        return pt
+
+    branch_sign = jnp.array([1.0, -1.0], dtype=dtype)
+    lr_cap = jnp.log(0.74 / eta_factor)
+
+    def npt_cond(state):
+        _, _, it, done = state
+        return jnp.any(~done) & (it < _MAX_NPT_ITER)
+
+    def npt_body(state):
+        lr, keep, it, done = state
+        pt, dpt = jax.jvp(npt_pt, (lr,), (jnp.ones_like(lr),))
+        r = pt - p0
+        newton = r / jnp.where(dpt > 0.0, dpt, 1.0)
+        step = jnp.where(dpt > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
+        converged = (jnp.abs(newton) < step_tol) & (dpt > 0.0)
+        bad = ~jnp.isfinite(step)
+        step = jnp.where(bad, 0.0, step)
+        freeze = done | converged | bad
+        lr_new = jnp.where(freeze, lr, jnp.minimum(lr - step, lr_cap))
+        keep_new = jnp.where(done, keep, jnp.stack([pt, dpt]))
+        return lr_new, keep_new, it + 1, freeze
+
+    lr0 = jnp.log(jnp.stack([0.5 / eta_factor, p0]))
+    keep0 = jnp.stack(
+        [jnp.full((2,), jnp.inf, dtype), jnp.ones((2,), dtype)]
+    )
+    lr, keep, _, _ = jax.lax.while_loop(
+        npt_cond, npt_body, (lr0, keep0, 0, jnp.zeros(2, dtype=bool))
+    )
+    pt_f, dpt_f = keep[0], keep[1]
+    npt_ok = (dpt_f > 0.0) & (
+        jnp.abs(pt_f - p0) / jnp.where(dpt_f > 0.0, dpt_f, 1.0)
+        < jnp.maximum(step_tol * 1e3, 1e-6)
+    )
+
+    i_bulk = 0 if incipient_is_vapor else 1
+    rho_bulk_t0 = jnp.exp(lr[i_bulk])
+    rho_inc_t0 = jnp.exp(lr[1 - i_bulk])
+    init_ok = npt_ok[i_bulk] & jnp.isfinite(rho_bulk_t0)
+
+    # -- stage 3: successive-substitution warmup ---------------------------
+    ln_bulk_max = limits[3]
+
+    def ss_body(_, carry):
+        ln_i, ln_bt = carry
+        R = jnp.stack([jnp.exp(ln_i), z * jnp.exp(ln_bt)])
+        _, g = _states_eos(phi_fn, R)
+        mu_bulk = jnp.log(z) + ln_bt + g[1]
+        target = mu_bulk - g[0]
+        if incipient_is_vapor:
+            # vapor: the fugacity fixed point is a contraction
+            ln_i_new = ln_i + jnp.clip(target - ln_i, -1.0, 1.0)
+        else:
+            # liquid incipient: the raw exp map diverges toward the trivial
+            # vapor root; rotate only the composition and pin the total
+            # density at the NPT liquid value.  The bulk (vapor) total is
+            # re-estimated from the ideal-vapor identity
+            # rho_V_i ~ exp(mu~_i(incipient liquid)).
+            ln_x = target - jax.scipy.special.logsumexp(target)
+            ln_i_new = ln_x + jnp.log(rho_inc_t0)
+            mu_inc = ln_i + g[0]
+            ln_bt = jnp.minimum(
+                jax.scipy.special.logsumexp(jnp.clip(mu_inc, -78.0, 78.0)),
+                ln_bulk_max,
+            )
+        return ln_i_new, ln_bt
+
+    ln_inc0 = jnp.log(z * rho_inc_t0)
+    ln_inc, ln_bulk_t = jax.lax.fori_loop(
+        0, _N_SS_WARMUP, ss_body, (ln_inc0, jnp.log(rho_bulk_t0))
+    )
+
+    u0 = jnp.concatenate([ln_inc, ln_bulk_t[None]])
+    return u0, limits, init_ok
+
+
+def _mix_newton(
+    phi_fn, z, u0, limits, max_iter, step_tol, res_mu_tol, res_p_rtol,
+    res_p_abs, phi_fn_jac=None,
+):
+    """Damped full Newton on u = [ln rho_inc (n), ln rho_bulk_t].
+
+    The residual is [mu~_i(inc) - mu~_i(bulk), p~(inc) - p~(bulk)] with
+    p~(inc) carried as an auxiliary output row, and the LAST evaluated
+    residual is carried in the loop state: acceptance never needs a
+    post-loop re-evaluation (converged rows freeze u at the iterate the
+    residual was computed at, so the carried residual matches the returned
+    u exactly).  One stacked 2-state phi graph per iteration.
+
+    With ``phi_fn_jac`` (an f32 closure), the Newton JACOBIAN is assembled
+    analytically from f32 phi Hessians (products with densities and the
+    ideal 1/rho terms stay in the working dtype, so the assembly is finite
+    even at vapor densities that underflow f32) while the residual stays in
+    the working dtype: the root is defined by the residual alone, so a
+    ~1e-7-accurate Jacobian costs at most an extra iteration, but it
+    removes ALL second-order f64 content from the loop body — the dominant
+    term of the TPU compile time (f64 is software-emulated and its
+    expansion multiplies the executable).
+
+    Returns ``(u, out)`` with ``out = [residual (n+1), p~_inc]``.
+    """
+    n = z.shape[0]
+    dtype = u0.dtype
+    ln_inc_min, ln_inc_max, ln_bulk_min, ln_bulk_max = limits
+
+    def residual_aux(u):
+        r_inc = jnp.exp(u[:n])
+        r_bulk = z * jnp.exp(u[n])
+        R = jnp.concatenate([r_inc[None, :], r_bulk[None, :]])
+        pt, g = _states_eos(phi_fn, R)
+        mu = jnp.log(R) + g
+        return jnp.concatenate(
+            [mu[0] - mu[1], (pt[0] - pt[1])[None], pt[0][None]]
+        )
+
+    def jac_from_hess(u):
+        """Analytic Newton Jacobian from f32 phi Hessians.
+
+        With R_inc = exp(u[:n]) and R_bulk = z * exp(u[n]):
+            J[i, j]  = H_inc[i, j] rho_inc[j] + delta_ij          (j < n)
+            J[i, n]  = -(sum_j H_bulk[i, j] rho_bulk[j] + 1)
+            J[n, j]  = rho_inc[j] (1 + sum_i rho_inc[i] H_inc[i, j])
+            J[n, n]  = -sum_j rho_bulk[j] (1 + sum_i rho_bulk[i] H_bulk[i, j])
+        """
+        r_inc = jnp.exp(u[:n])
+        r_bulk = z * jnp.exp(u[n])
+        R = jnp.concatenate([r_inc[None, :], r_bulk[None, :]])
+        # clamp away exact zeros: mixture phi divides by sum(rho)
+        R32 = jnp.maximum(R, 1e-35).astype(jnp.float32)
+        H = _states_hess(phi_fn_jac, R32).astype(dtype)
+        H_inc, H_bulk = H[0], H[1]
+        eye = jnp.eye(n, dtype=dtype)
+        J_mu_inc = H_inc * r_inc[None, :] + eye
+        J_mu_bulk = -(H_bulk @ r_bulk + 1.0)
+        J_p_inc = r_inc * (1.0 + r_inc @ H_inc)
+        J_p_bulk = -jnp.sum(r_bulk * (1.0 + r_bulk @ H_bulk))
+        top = jnp.concatenate([J_mu_inc, J_mu_bulk[:, None]], axis=1)
+        bot = jnp.concatenate([J_p_inc, J_p_bulk[None]])[None, :]
+        return jnp.concatenate([top, bot], axis=0)
+
+    def project(u):
+        # keep each phase on its branch (outside the unstable region)
+        ln_inc_tot = jax.scipy.special.logsumexp(u[:n])
+        shift = jnp.clip(ln_inc_tot, ln_inc_min, ln_inc_max) - ln_inc_tot
+        u = u.at[:n].add(shift)
+        u = u.at[n].set(jnp.clip(u[n], ln_bulk_min, ln_bulk_max))
+        return u
+
+    def cond(state):
+        _, _, it, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        u, out_keep, it, done = state
+        if phi_fn_jac is None:
+            out, J = _val_and_jac(residual_aux, u)
+            Jsq = J[: n + 1]
+        else:
+            out = residual_aux(u)
+            Jsq = jac_from_hess(u)
+        r = out[: n + 1]
+        step = _solve3(Jsq, r) if n == 2 else jnp.linalg.solve(Jsq, r)
+        tot = jnp.sum(jnp.exp(u[:n]))
+        res_ok = (jnp.max(jnp.abs(r[:n])) < res_mu_tol) & (
+            jnp.abs(r[n]) < res_p_rtol * tot + res_p_abs * jnp.exp(u[n])
+        )
+        converged = (jnp.max(jnp.abs(step)) < step_tol) | res_ok
+        bad = ~jnp.all(jnp.isfinite(step))
+        step = jnp.where(bad, 0.0, jnp.clip(step, -0.5, 0.5))
+        # converged rows freeze at THIS iterate so the carried residual
+        # matches the returned u
+        u_new = jnp.where(done | converged | bad, u, project(u - step))
+        out_new = jnp.where(done, out_keep, out)
+        return u_new, out_new, it + 1, done | converged | bad
+
+    out0 = jnp.full((n + 2,), jnp.inf, dtype=u0.dtype)
+    u, out, _, _ = jax.lax.while_loop(
+        cond, body, (u0, out0, 0, jnp.array(False))
+    )
+    return u, out
+
+
+def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
     """Bubble/dew-point solve for an n-component mixture (per item).
 
     Bulk phase has known mole fractions ``z`` (liquid for bubble, vapor for
@@ -451,183 +788,52 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
     Replaces ``PhaseEquilibrium::bubble_point/dew_point``
     (src/pcsaft.rs:150-214).
 
-    Returns ``(rho_incipient (n,), rho_bulk (n,), ok)``.
+    With ``phi_fn32`` (an f32 closure over f32-cast parameters) the
+    initialization and Newton warmup run in f32 — TPU f64 is software-
+    emulated, and keeping the bulk of the program in f32 both shrinks the
+    lowered executable ~6x (which is what lets these nested-Newton mixture
+    programs compile on the TPU at all) and runs several times faster.  A
+    short f64 Newton polish (quadratic from ~1e-4) plus f64 acceptance
+    keeps final accuracy identical to the pure-f64 path.
+
+    Returns ``(rho_incipient (n,), rho_bulk (n,), ok, p~_incipient)`` —
+    the reduced equilibrium pressure comes from the carried residual state
+    (exact at the converged root, no extra phi evaluation).
     """
     n = z.shape[0]
+    dtype = z.dtype
     eta_factor = PI / 6.0 * m_eff_d3
 
-    # The caller's pressure estimate may lie far outside the two-phase
-    # region (e.g. 1 bar when the dew pressure is ~1e3 Pa): cap it at half
-    # the vapor-spinodal pressure of the bulk composition, estimated from a
-    # static packing-fraction scan (the feos crate adapts its pressure
-    # internally inside PhaseEquilibrium; this is the fixed-shape analogue).
-    rho_grid = jnp.asarray(_ETA_GRID) / eta_factor
-
-    def p_grid_fn(lr):
-        R = z[None, :] * jnp.exp(lr)[:, None]
-        pt, _ = _states_eos(phi_fn, R)
-        return pt
-
-    pt_grid, dpt_grid = jax.jvp(
-        p_grid_fn, (jnp.log(rho_grid),), (jnp.ones_like(rho_grid),)
-    )
-    unstable = dpt_grid <= 0.0
-    unstable_seen = jnp.cumsum(unstable.astype(pt_grid.dtype)) > 0.0
-    p_sv = jnp.max(jnp.where(unstable_seen, -jnp.inf, pt_grid))
-    has_loop = jnp.any(unstable)
-    p0 = jnp.where(has_loop, jnp.minimum(p0, 0.5 * p_sv), p0)
-    p0 = jnp.maximum(p0, 1e-30)
-
-    # branch-limit densities from the same scan: the largest stable-vapor
-    # grid density (below the first unstable point) and the smallest
-    # stable-liquid grid density (above the last unstable point); used to
-    # project Newton iterates back onto their phase branch.
-    k_grid = rho_grid.shape[0]
-    idx = jnp.arange(k_grid)
-    first_u = jnp.min(jnp.where(unstable, idx, k_grid))
-    last_u = jnp.max(jnp.where(unstable, idx, -1))
-    ln_rho_sv = jnp.where(
-        has_loop, jnp.log(rho_grid)[jnp.maximum(first_u - 1, 0)], jnp.inf
-    )
-    ln_rho_sl = jnp.where(
-        has_loop, jnp.log(rho_grid)[jnp.minimum(last_u + 1, k_grid - 1)], -jnp.inf
-    )
-    if incipient_is_vapor:
-        ln_bulk_min, ln_bulk_max = ln_rho_sl, jnp.inf
-        ln_inc_min, ln_inc_max = -jnp.inf, ln_rho_sv
-    else:
-        ln_bulk_min, ln_bulk_max = -jnp.inf, ln_rho_sv
-        ln_inc_min, ln_inc_max = ln_rho_sl, jnp.inf
-
-    rho_liq_init = 0.5 / eta_factor
-    rho_vap_init = p0
-
-    # Solve both branch NPT problems in one loop: lane 0 = liquid, lane 1 = vapor.
-    def npt_p(lr):
-        R = z[None, :] * jnp.exp(lr)[:, None]
-        pt, _ = _states_eos(phi_fn, R)
-        return pt
-
-    def npt_cond(state):
-        _, it, done = state
-        return jnp.any(~done) & (it < _MAX_NPT_ITER)
-
-    branch_sign = jnp.array([1.0, -1.0])
-
-    lr_cap = jnp.log(0.74 / eta_factor)
-
-    def npt_body(state):
-        lr, it, done = state
-        pt, dpt = jax.jvp(npt_p, (lr,), (jnp.ones_like(lr),))
-        r = pt - p0
-        newton = r / jnp.where(dpt > 0.0, dpt, 1.0)
-        step = jnp.where(dpt > 0.0, jnp.clip(newton, -0.5, 0.5), -branch_sign * 0.2)
-        converged = (jnp.abs(newton) < _STEP_TOL) & (dpt > 0.0)
-        bad = ~jnp.isfinite(step)
-        step = jnp.where(bad, 0.0, step)
-        lr_new = jnp.where(done, lr, jnp.minimum(lr - step, lr_cap))
-        return lr_new, it + 1, done | converged | bad
-
-    lr0 = jnp.log(jnp.stack([rho_liq_init, rho_vap_init]))
-    lr, _, _ = jax.lax.while_loop(
-        npt_cond, npt_body, (lr0, 0, jnp.zeros(2, dtype=bool))
-    )
-    pt_f, dpt_f = jax.jvp(npt_p, (lr,), (jnp.ones_like(lr),))
-    npt_ok = (dpt_f > 0.0) & (
-        jnp.abs(pt_f - p0) / jnp.where(dpt_f > 0.0, dpt_f, 1.0) < _RES_RTOL
-    )
-
-    i_bulk = 0 if incipient_is_vapor else 1
-    i_inc = 1 - i_bulk
-    rho_bulk_t0 = jnp.exp(lr[i_bulk])
-    rho_inc_t0 = jnp.exp(lr[i_inc])
-    ok_bulk = npt_ok[i_bulk]
-    rho_bulk = z * rho_bulk_t0
-    ln_inc = jnp.log(z * rho_inc_t0)
-
-    # successive-substitution warmup on the incipient fugacities,
-    # alternating with a bulk-pressure re-estimate (outer rounds): the
-    # caller's pressure guess can be orders of magnitude off, in which case
-    # the subsequent Newton would leave the physical basin.
-    ln_bulk_t = jnp.log(rho_bulk_t0)
-
-    def ss_round(_, carry):
-        ln_i, ln_bt = carry
-        rho_b = z * jnp.exp(ln_bt)
-        _, g_bulk = _states_eos(phi_fn, rho_b[None, :])
-        mu_bulk = jnp.log(rho_b) + g_bulk[0]
-
-        def ss_body(_, ln_i):
-            _, g_inc = _states_eos(phi_fn, jnp.exp(ln_i)[None, :])
-            target = mu_bulk - g_inc[0]
-            if incipient_is_vapor:
-                # vapor: the fugacity fixed point is a contraction
-                return ln_i + jnp.clip(target - ln_i, -1.0, 1.0)
-            # liquid: the raw exp map diverges toward the trivial vapor
-            # root; rotate only the composition and pin the total density
-            # at the NPT liquid value
-            ln_x = target - jax.scipy.special.logsumexp(target)
-            return ln_x + jnp.log(rho_inc_t0)
-
-        ln_i = jax.lax.fori_loop(0, _N_SS_WARMUP, ss_body, ln_i)
-        if not incipient_is_vapor:
-            # re-estimate the bulk vapor total from the ideal-vapor
-            # identity rho_V_i ~ exp(mu~_i(incipient liquid))
-            _, g_inc = _states_eos(phi_fn, jnp.exp(ln_i)[None, :])
-            mu_inc = ln_i + g_inc[0]
-            ln_bt = jax.scipy.special.logsumexp(jnp.clip(mu_inc, -78.0, 78.0))
-            ln_bt = jnp.minimum(ln_bt, ln_bulk_max)
-        return ln_i, ln_bt
-
-    ln_inc, ln_bulk_t = jax.lax.fori_loop(
-        0, 3 if not incipient_is_vapor else 1, ss_round, (ln_inc, ln_bulk_t)
-    )
-
-    # full Newton on u = [ln rho_inc (n), ln rho_bulk_t]
-    def residual(u):
-        r_inc = jnp.exp(u[:n])
-        r_bulk = z * jnp.exp(u[n])
-        R = jnp.concatenate([r_inc[None, :], r_bulk[None, :]])
-        pt, g = _states_eos(phi_fn, R)
-        mu = jnp.log(R) + g
-        return jnp.concatenate([mu[0] - mu[1], (pt[0] - pt[1])[None]])
-
-    u0 = jnp.concatenate([ln_inc, ln_bulk_t[None]])
-
-    def cond(state):
-        _, it, done = state
-        return (~done) & (it < _MAX_MIX_ITER)
-
-    def project(u):
-        # keep each phase on its branch (outside the unstable region)
-        ln_inc_tot = jax.scipy.special.logsumexp(u[:n])
-        shift = jnp.clip(ln_inc_tot, ln_inc_min, ln_inc_max) - ln_inc_tot
-        u = u.at[:n].add(shift)
-        u = u.at[n].set(jnp.clip(u[n], ln_bulk_min, ln_bulk_max))
-        return u
-
-    def body(state):
-        u, it, done = state
-        r, J = _val_and_jac(residual, u)
-        step = _solve3(J, r) if n == 2 else jnp.linalg.solve(J, r)
-        # residual-based exit at the acceptance level (reachable under
-        # emulated f64 where step sizes bottom out at the noise floor)
-        tot = jnp.sum(jnp.exp(u[:n]))
-        res_ok = (jnp.max(jnp.abs(r[:n])) < 1e-9) & (
-            jnp.abs(r[n]) < 1e-9 * tot + 1e-13 * jnp.exp(u[n])
+    if phi_fn32 is not None:
+        f32 = jnp.float32
+        z32 = z.astype(f32)
+        u0, limits32, init_ok = _mix_init(
+            phi_fn32, z32, p0.astype(f32), eta_factor.astype(f32),
+            incipient_is_vapor, step_tol=1e-5,
         )
-        converged = (jnp.max(jnp.abs(step)) < _STEP_TOL) | res_ok
-        bad = ~jnp.all(jnp.isfinite(step))
-        step = jnp.where(bad, 0.0, jnp.clip(step, -0.5, 0.5))
-        u_new = jnp.where(done, u, project(u - step))
-        return u_new, it + 1, done | converged | bad
+        u0, _ = _mix_newton(
+            phi_fn32, z32, u0, limits32, max_iter=_MAX_MIX_ITER,
+            step_tol=1e-4, res_mu_tol=1e-4, res_p_rtol=1e-4, res_p_abs=1e-6,
+        )
+        u0 = u0.astype(dtype)
+        limits = tuple(l.astype(dtype) for l in limits32)
+        polish_iter = 30
+    else:
+        u0, limits, init_ok = _mix_init(
+            phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol=_STEP_TOL
+        )
+        polish_iter = _MAX_MIX_ITER
 
-    u, _, _ = jax.lax.while_loop(cond, body, (u0, 0, jnp.array(False)))
+    u, out = _mix_newton(
+        phi_fn, z, u0, limits, max_iter=polish_iter, step_tol=_STEP_TOL,
+        res_mu_tol=1e-9, res_p_rtol=1e-9, res_p_abs=1e-13,
+        phi_fn_jac=phi_fn32,
+    )
 
     rho_inc = jnp.exp(u[:n])
     rho_bulk = z * jnp.exp(u[n])
-    r = residual(u)
-    p_sol, _ = _states_eos(phi_fn, rho_inc[None, :])
+    r = out[: n + 1]
+    pt_inc = out[n + 1]
     scale_p = jnp.sum(rho_inc)
     res_mu = jnp.max(jnp.abs(r[:n]))
     # absolute allowance for the liquid-pressure cancellation noise (see
@@ -640,12 +846,12 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool):
     else:
         ordered = jnp.sum(rho_inc) > jnp.sum(rho_bulk)
     ok = (
-        ok_bulk
+        init_ok
         & jnp.all(jnp.isfinite(u))
         & (res_mu < 1e-7)
         & (res_p < _RES_RTOL)
         & ~trivial
         & ordered
-        & (p_sol[0] > 0.0)
+        & (pt_inc > 0.0)
     )
-    return rho_inc, rho_bulk, ok
+    return rho_inc, rho_bulk, ok, pt_inc

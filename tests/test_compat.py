@@ -49,6 +49,56 @@ def test_liquid_density_contract():
     np.testing.assert_allclose(dens / KMOL_M3_TO_REDUCED, rho, rtol=1e-9)
 
 
+def test_gc_contract():
+    """compat.GcPcSaft mirrors the reference native class's constructor and
+    bubble/dew contract (reference src/gc_pcsaft.rs:26-100): stateful
+    segment records + per-item topology, compacted (B_ok, 4) densities."""
+    import json
+    from pathlib import Path
+
+    from feos_tpu.compat import GcPcSaft
+
+    segs = json.loads(
+        (Path(__file__).resolve().parent / "sauer2014_hetero.json").read_text()
+    )
+    wanted = {"CH3", "CH2"}
+    segment_records = [
+        (
+            r["identifier"],
+            np.array(
+                [
+                    r["model_record"].get(k, 0.0)
+                    for k in [
+                        "m", "sigma", "epsilon_k", "mu",
+                        "kappa_ab", "epsilon_k_ab", "na", "nb",
+                    ]
+                ]
+            ),
+        )
+        for r in segs
+        if r["identifier"] in wanted
+    ]
+    # butane / propane, 2 conditions
+    segments = [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * 2
+    bonds = [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * 2
+    gc = GcPcSaft(
+        segment_records, segments, bonds, [("CH3", "CH2", -0.15)],
+        np.tile([1.1, 0.98], (2, 1)),
+    )
+    T = np.array([230.0, 240.0])
+    x = np.array([0.5, 0.5])
+    p0 = np.array([1e5, 1e5])
+    dens_b, nans_b = gc.bubble_point(T, x, p0)
+    assert dens_b.shape == (2, 4)
+    assert not nans_b.any()
+    # vapor (cols 0:2) less dense than liquid (cols 2:4)
+    assert np.all(dens_b[:, :2].sum(axis=1) < dens_b[:, 2:].sum(axis=1))
+    dens_d, nans_d = gc.dew_point(T, x, p0)
+    assert dens_d.shape == (2, 4)
+    assert not nans_d.any()
+    assert np.all(dens_d[:, :2].sum(axis=1) < dens_d[:, 2:].sum(axis=1))
+
+
 def test_bubble_point_contract():
     params = np.array(
         [[[1, 3.5, 150, 0, 0, 0, 0, 0], [1, 3.5, 200, 0, 0, 0, 0, 0]]]

@@ -58,6 +58,82 @@ def test_vle_densities_match_jax_solver():
     np.testing.assert_allclose(rho_cpp[:, 1], rl, rtol=1e-9)
 
 
+def test_mix_derivatives_match_golden():
+    """The C++ mixture core must reproduce the 14 golden association
+    regimes (values generated from the reference implementation)."""
+    d = json.loads((GOLDEN / "mix_helmholtz.json").read_text())
+    params = np.asarray(d["params"])
+    n = params.shape[0]
+    T = np.full(n, float(np.asarray(d["temperature"])))
+    rho = np.tile(np.asarray(d["density"]), (n, 1))
+    phi, p, mu1, mu2 = cpu_backend.mix_derivatives(params, d["kij"], T, rho)
+    np.testing.assert_allclose(phi, d["a"], rtol=0, atol=1e-14)
+    np.testing.assert_allclose(p, d["p"], rtol=0, atol=1e-14)
+    # golden mu is residual-only; the C++ backend returns total mu
+    mu_ref = np.asarray(d["mu"]) + np.log(rho)
+    np.testing.assert_allclose(
+        np.stack([mu1, mu2], axis=1), mu_ref, rtol=0, atol=1e-13
+    )
+
+
+def test_mix_bubble_dew_match_jax_solver():
+    """Independent C++ oracle vs the JAX mixture VLE over the reference's
+    bubble/dew test conditions (reference tests/test_pcsaft_mix.py:127-251:
+    associating binary with kij = -0.15 and the eps_AiBj = 1000 override)."""
+    from feos_tpu.models import pcsaft_mix as M
+
+    B = 4
+    params = np.tile(
+        [[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500, 1, 1]],
+        (B, 1, 1),
+    )
+    kij = np.tile([-0.15, 1000.0], (B, 1))
+    T = np.array([145.0, 150.0, 155.0, 160.0])
+    x = np.full(B, 0.5)
+    p0 = np.full(B, 1e5)
+
+    rho_cpp, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
+        params, kij, T, x, p0, bubble=True
+    )
+    assert ok_cpp.all()
+    pb, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    assert not np.any(nans)
+    np.testing.assert_allclose(np.asarray(pb), p_cpp, rtol=1e-7)
+
+    rho_cpp, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
+        params, kij, T, x, p0, bubble=False
+    )
+    assert ok_cpp.all()
+    pd, nans = jax.jit(M.dew_point)(params, kij, T, x, p0)
+    assert not np.any(nans)
+    np.testing.assert_allclose(np.asarray(pd), p_cpp, rtol=1e-7)
+    # dew pressure below bubble pressure for the same feed
+    assert np.all(np.asarray(pd) < np.asarray(pb))
+
+
+def test_mix_bubble_nonassoc_kij_match_jax_solver():
+    """Oracle agreement on the plain non-associating kij system
+    (reference tests/test_pcsaft_mix.py:195-214 dew conditions)."""
+    from feos_tpu.models import pcsaft_mix as M
+
+    B = 3
+    params = np.tile(
+        [[1, 3.5, 150, 0, 0, 0, 0, 0], [1, 3.5, 200, 0, 0, 0, 0, 0]], (B, 1, 1)
+    )
+    kij = np.tile([-0.15, 0.0], (B, 1))
+    T = np.array([140.0, 150.0, 160.0])
+    x = np.full(B, 0.5)
+    p0 = np.full(B, 1e5)
+    for bubble, fn in ((True, M.bubble_point), (False, M.dew_point)):
+        rho_cpp, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
+            params, kij, T, x, p0, bubble=bubble
+        )
+        assert ok_cpp.all()
+        p_jax, nans = jax.jit(fn)(params, kij, T, x, p0)
+        assert not np.any(nans)
+        np.testing.assert_allclose(np.asarray(p_jax), p_cpp, rtol=1e-7)
+
+
 def test_liquid_density_matches_jax():
     from feos_tpu.models.pcsaft_pure import liquid_density
     from feos_tpu.units import KMOL_M3_TO_REDUCED

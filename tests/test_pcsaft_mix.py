@@ -81,6 +81,76 @@ def test_bubble_point_gradient_fd():
     assert np.abs(grad - fd) < 1.0, f"ad={grad} fd={fd}"
 
 
+def test_bubble_point_epsilon_k_aibj_gradient_fd():
+    """epsilon_k_AiBj (cross-association energy override) gradient of the
+    bubble pressure vs finite differences — the second column of the
+    reference's differentiable kij tensor (reference
+    tests/test_pcsaft_mix.py:127-192)."""
+    h = 1e-4
+    params = np.array([BUBBLE_PARAMS] * 2, dtype=np.float64)
+    kij = np.array([[-0.15, 1000.0], [-0.15, 1000.0 + h]])
+    T = jnp.full((2,), 150.0)
+    x = jnp.full((2,), 0.5)
+    p0 = jnp.full((2,), 1e5)
+    p, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    assert not np.any(nans)
+    fd = (p[1] - p[0]) / h
+
+    def f(e):
+        pp, _ = M.bubble_point(
+            params[:1], jnp.array([[-0.15, e]]), T[:1], x[:1], p0[:1]
+        )
+        return pp[0]
+
+    grad = jax.jit(jax.grad(f))(jnp.asarray(1000.0))
+    assert np.abs(grad - fd) < np.abs(fd) * 1e-3 + 1e-3, f"ad={grad} fd={fd}"
+
+
+def test_bubble_point_component_param_gradients_fd():
+    """All 8 PC-SAFT component parameters of component 0 through
+    bubble_point vs central finite differences (the reference FD-checks the
+    pure path over the first 6 parameters, tests/test_pcsaft_pure.py:91-161;
+    the mixture path adds the association-site and mixing machinery)."""
+    base = np.array(BUBBLE_PARAMS, dtype=np.float64)
+    kij0 = np.array([[-0.15, 1000.0]])
+    T = jnp.full((1,), 150.0)
+    x = jnp.full((1,), 0.5)
+    p0 = jnp.full((1,), 1e5)
+
+    def f(params0):
+        pp, _ = M.bubble_point(
+            jnp.stack([params0, jnp.asarray(base[1])])[None], kij0, T, x, p0
+        )
+        return pp[0]
+
+    grad = jax.jit(jax.grad(f))(jnp.asarray(base[0]))
+    assert np.all(np.isfinite(grad))
+
+    # central FD on each parameter, one batched solve for efficiency
+    hs = np.maximum(np.abs(base[0]), 1.0) * 3e-7
+    batch, cols = [], []
+    for i in range(8):
+        for sgn in (+1.0, -1.0):
+            p_i = base.copy()
+            p_i[0, i] += sgn * hs[i]
+            batch.append(p_i)
+            cols.append((i, sgn))
+    batch = np.asarray(batch)
+    n = batch.shape[0]
+    p_all, nans = jax.jit(M.bubble_point)(
+        batch, np.tile(kij0, (n, 1)), jnp.full((n,), 150.0),
+        jnp.full((n,), 0.5), jnp.full((n,), 1e5),
+    )
+    assert not np.any(nans)
+    p_all = np.asarray(p_all)
+    # rows are ordered (i, +), (i, -)
+    fd = np.array(
+        [(p_all[2 * i] - p_all[2 * i + 1]) / (2 * hs[i]) for i in range(8)]
+    )
+    scale = np.maximum(np.abs(fd), 1.0)
+    np.testing.assert_allclose(np.asarray(grad) / scale, fd / scale, atol=2e-4)
+
+
 def test_dew_point_gradient_fd():
     """kij gradient of the dew pressure vs finite differences
     (reference tests/test_pcsaft_mix.py:195-251)."""

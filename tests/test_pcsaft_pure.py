@@ -130,6 +130,87 @@ def test_failure_mask_supercritical():
     assert np.isnan(vp[2]) and np.isfinite(vp[0]) and np.isfinite(vp[1])
 
 
+def test_gradients_finite_with_failed_rows():
+    """One failed (supercritical) row in a batch must not poison the
+    parameter gradients of the converged rows: the loss masks failed rows
+    to a constant, so the total gradient stays finite (the regression loop
+    relies on this; reference semantics are compaction via reduce(),
+    feos_torch/pcsaft_pure.py:235-243, which drops failed rows entirely)."""
+    p0 = jnp.array(README_PARAMS)
+    T = jnp.array([300.0, 2000.0, 350.0])  # middle row supercritical
+
+    def loss(p):
+        nans, vp = vapor_pressure(jnp.tile(p, (3, 1)), T)
+        return jnp.sum(jnp.where(nans, 0.0, vp))
+
+    val, grad = jax.jit(jax.value_and_grad(loss))(p0)
+    assert np.isfinite(val)
+    assert np.all(np.isfinite(np.asarray(grad))), f"grad={grad}"
+
+    def loss_rho(p):
+        nans, rho = liquid_density(
+            jnp.tile(p, (3, 1)), T, jnp.array([1e5, 1e5, 1e5])
+        )
+        return jnp.sum(jnp.where(nans, 0.0, rho))
+
+    val, grad = jax.jit(jax.value_and_grad(loss_rho))(p0)
+    assert np.isfinite(val)
+    assert np.all(np.isfinite(np.asarray(grad))), f"grad={grad}"
+
+
+# the reference's 6-row parameter grid (reference tests/test_pcsaft_pure.py:9-17):
+# non-polar, dipolar+asymmetric-assoc variants (2B/1A1B/no-eps/no-kappa/0-2 sites)
+REFERENCE_GRID = [
+    [1.5, 3.2, 350, 0, 0, 0, 0, 0],
+    [1.5, 3.2, 150, 2.5, 0.03, 2500, 2, 1],
+    [1.5, 3.2, 150, 2.5, 0, 2500, 1, 1],
+    [1.5, 3.2, 150, 2.5, 0.03, 0, 1, 1],
+    [1.5, 3.2, 150, 2.5, 0, 0, 0, 0],
+    [1.5, 3.2, 150, 2.5, 0.03, 2500, 0, 2],
+]
+
+
+def test_solved_properties_reference_grid_vs_oracle():
+    """Absolute anchors for vapor pressure / liquid density / equilibrium
+    liquid density over the reference's full 6-row parameter grid at the
+    reference conditions T = 300 K, p = 1e5 Pa (reference
+    tests/test_pcsaft_pure.py:9-88), cross-checked against the independent
+    C++ oracle (csrc/pcsaft_cpu.cpp)."""
+    from feos_tpu import cpu_backend
+    from feos_tpu.units import KMOL_M3_TO_REDUCED, REDUCED_TO_PA_PER_KT
+
+    if not cpu_backend.available():
+        pytest.skip("no C++ toolchain for native backend")
+
+    params = np.asarray(REFERENCE_GRID, dtype=np.float64)
+    n = len(params)
+    T = jnp.full((n,), 300.0)
+    p_pa = jnp.full((n,), 1e5)
+
+    nans, vp = jax.jit(vapor_pressure)(params, T)
+    assert not np.any(nans)
+    rho_cpp, ok = cpu_backend.vapor_pressure_densities(params, np.asarray(T))
+    assert ok.all()
+    # oracle vapor pressure from its own converged state via the identity
+    # p~ = rho_V - phi(rho_V) + rho_V phi'(rho_V)
+    _, pt_v, _ = cpu_backend.derivatives(params, np.asarray(T), rho_cpp[:, 0])
+    np.testing.assert_allclose(vp, pt_v * 300.0 * REDUCED_TO_PA_PER_KT, rtol=1e-7)
+
+    nans, rho_l = jax.jit(liquid_density)(params, T, p_pa)
+    assert not np.any(nans)
+    rho_l_cpp, ok = cpu_backend.liquid_density_reduced(
+        params, np.asarray(T), np.asarray(p_pa)
+    )
+    assert ok.all()
+    np.testing.assert_allclose(rho_l, rho_l_cpp / KMOL_M3_TO_REDUCED, rtol=1e-9)
+
+    nans, rho_eq = jax.jit(equilibrium_liquid_density)(params, T)
+    assert not np.any(nans)
+    np.testing.assert_allclose(
+        rho_eq, rho_cpp[:, 1] / KMOL_M3_TO_REDUCED, rtol=1e-8
+    )
+
+
 def test_liquid_density_matches_equilibrium_at_saturation():
     """NPT liquid density at p = p_sat equals the equilibrium liquid density."""
     params = np.tile(README_PARAMS, (3, 1))

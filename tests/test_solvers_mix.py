@@ -23,7 +23,7 @@ def _solve(parr, kij, eps, T, x1, p0_red, bubble):
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
         m_eff_d3 = jnp.sum(z * pi.m * d**3)
         phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
-        rho_inc, rho_bulk, ok = mix_vle(phi_fn, z, pr, m_eff_d3, bubble)
+        rho_inc, rho_bulk, ok, _ = mix_vle(phi_fn, z, pr, m_eff_d3, bubble)
         R = jnp.stack([rho_inc, rho_bulk])
         pt, g = _states_eos(phi_fn, R)
         mu = jnp.log(R) + g
