@@ -421,9 +421,9 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
     double d[2];
     for (int i = 0; i < 2; ++i)
         d[i] = p.sigma[i] * (1.0 - 0.12 * std::exp(-3.0 * p.eps_k[i] / T));
-    double eta_factor =
-        PI / 6.0 * (z[0] * p.m[0] * d[0] * d[0] * d[0] +
-                    z[1] * p.m[1] * d[1] * d[1] * d[1]);
+    double md3[2] = {p.m[0] * d[0] * d[0] * d[0], p.m[1] * d[1] * d[1] * d[1]};
+    double z_md3 = z[0] * md3[0] + z[1] * md3[1];
+    double eta_factor = PI / 6.0 * z_md3;
     double lr_cap = std::log(0.74 / eta_factor);
 
     // grid scan: van-der-Waals loop detection + branch limits + p0 cap
@@ -456,11 +456,15 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
     double ln_inc_min = -1e300, ln_inc_max = 1e300;
     double ln_bulk_min = -1e300, ln_bulk_max = 1e300;
     if (has_loop) {
+        // the spinodal bounds come from the grid scan at the BULK
+        // composition z; widen the incipient limits by the extreme
+        // per-component size ratio so equal-packing states of a rotated
+        // composition stay on their branch (see feos_tpu/solvers/vle.py).
         if (incipient_is_vapor) {
-            ln_inc_max = ln_sv;
+            ln_inc_max = ln_sv + std::log(z_md3 / std::min(md3[0], md3[1]));
             ln_bulk_min = ln_sl;
         } else {
-            ln_inc_min = ln_sl;
+            ln_inc_min = ln_sl + std::log(z_md3 / std::max(md3[0], md3[1]));
             ln_bulk_max = ln_sv;
         }
     }
@@ -492,8 +496,14 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
             double lse = mx + std::log(std::exp(target[0] - mx) +
                                        std::exp(target[1] - mx));
             double mu_inc[2] = {oi.mu[0], oi.mu[1]};
+            // pin the PACKING FRACTION, not the molar density: the liquid
+            // composition rotates toward the heavy component, where the
+            // NPT molar density would over-compress it (period-2
+            // oscillation; see feos_tpu/solvers/vle.py ss_body).
+            double x0 = std::exp(target[0] - lse), x1 = std::exp(target[1] - lse);
+            double eta_corr = z_md3 / (x0 * md3[0] + x1 * md3[1]);
             for (int i = 0; i < 2; ++i)
-                ln_i[i] = target[i] - lse + std::log(rho_inc_t0);
+                ln_i[i] = target[i] - lse + std::log(rho_inc_t0 * eta_corr);
             double m2x = std::max(std::min(mu_inc[0], 78.0), std::min(mu_inc[1], 78.0));
             double lse2 = m2x + std::log(std::exp(std::min(mu_inc[0], 78.0) - m2x) +
                                          std::exp(std::min(mu_inc[1], 78.0) - m2x));
@@ -505,7 +515,7 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
     double u[3] = {ln_i[0], ln_i[1], ln_bt};
     bool conv = false;
     double r[3] = {1e300, 1e300, 1e300};
-    double pt_inc = 0.0;
+    double pt_inc = 0.0, pt_bulk = 0.0;
     for (int it = 0; it < 80; ++it) {
         double ri[2] = {std::exp(u[0]), std::exp(u[1])};
         double rbt = std::exp(u[2]);
@@ -516,6 +526,7 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
         r[1] = oi.mu[1] - ob.mu[1];
         r[2] = oi.pt - ob.pt;
         pt_inc = oi.pt;
+        pt_bulk = ob.pt;
         double J[3][3];
         for (int i = 0; i < 2; ++i) {
             for (int j = 0; j < 2; ++j) J[i][j] = oi.dmu[i][j] * ri[j];
@@ -564,7 +575,11 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
     double rbt = std::exp(u[2]);
     rho_bulk[0] = z[0] * rbt;
     rho_bulk[1] = z[1] * rbt;
-    *pt_out = pt_inc;
+    // report the VAPOR-side pressure: the liquid p~ is a cancellation of
+    // large terms whose f64 noise floor is percent-level relative error at
+    // Pa-scale dew pressures (same convention as feos_tpu/solvers/vle.py).
+    double pt_eq = incipient_is_vapor ? pt_inc : pt_bulk;
+    *pt_out = pt_eq;
     double tot_inc = rho_inc[0] + rho_inc[1];
     double tot_bulk = rbt;
     bool trivial = std::abs(std::log(tot_inc) - u[2]) < 1e-5;
@@ -573,7 +588,7 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
     double p_noise = 1e-12 * std::max(tot_inc, tot_bulk);
     double res_p = std::abs(r[2]) / (tot_inc + p_noise / 1e-6);
     return conv && std::isfinite(tot_inc) && res_mu < 1e-7 && res_p < 1e-6 &&
-           !trivial && ordered && pt_inc > 0.0;
+           !trivial && ordered && pt_eq > 0.0;
 }
 
 }  // namespace

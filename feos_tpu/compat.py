@@ -93,11 +93,12 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
     def item(pi, ki, ei, ti, xi, pr):
         z = jnp.stack([xi, 1.0 - xi])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / ti))
-        m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        md3 = pi.m * d**3
         f32 = jnp.float32
         pi32 = MixParams(*(v.astype(f32) for v in pi))
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, ti, r), z, pr, m_eff_d3,
+            lambda r: phi_mix(pi, ki, ei, ti, r, assoc_q_form=True),
+            z, pr, md3,
             incipient_is_vapor=bubble,
             phi_fn32=lambda r: phi_mix(
                 pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32), r
@@ -159,11 +160,11 @@ class GcPcSaft:
         def item(g, ti, xi, pr):
             z = jnp.stack([xi, 1.0 - xi])
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / ti))
-            m_eff_d3 = jnp.sum(z * (g.m @ (d**3)))
+            md3 = g.m @ (d**3)
             f32 = jnp.float32
             g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
             return mix_vle(
-                lambda r: phi_gc(g, ti, r), z, pr, m_eff_d3,
+                lambda r: phi_gc(g, ti, r, assoc_q_form=True), z, pr, md3,
                 incipient_is_vapor=bubble,
                 phi_fn32=lambda r: phi_gc(g32, ti.astype(f32), r),
             )

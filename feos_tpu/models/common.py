@@ -62,6 +62,15 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
     # and the quotient's second derivative touches phi2^3, which
     # under-/overflows the TPU's emulated-f64 exponent range (~1e+-38) at
     # dilute states and poisons derivatives with NaN/inf.
+    #
+    # The dipole scale needs the same treatment: S2 ~ mu^4 and the ratio's
+    # density derivatives divide by S2^2, which underflows f32 (and the
+    # emulated-f64 range) for tiny dipole moments (e.g. FD perturbations
+    # around mu = 0).  Normalize mu2_term by its largest component so the
+    # accumulated sums are O(1) in mu; the net powers reattach at the end.
+    mu2_max = jnp.max(mu2_term)
+    mu2_max = jnp.where(mu2_max > 0.0, mu2_max, 1.0)
+    mu2_term = mu2_term / mu2_max
     rho_t = jnp.sum(rho)
     w = rho / rho_t
     S2 = 0.0
@@ -94,8 +103,9 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
                 )
     S2 = S2 * PI
     S3 = S3 * (4.0 / 3.0 * PI * PI)
-    phi2 = rho_t * rho_t * S2
-    ratio = rho_t * S3 / jnp.where(S2 != 0.0, S2, 1.0)
+    # reattach the mu scale: phi2 gains mu2_max^2, the ratio gains mu2_max
+    phi2 = rho_t * rho_t * S2 * (mu2_max * mu2_max)
+    ratio = rho_t * mu2_max * S3 / jnp.where(S2 != 0.0, S2, 1.0)
     return phi2 / (1.0 - ratio)
 
 

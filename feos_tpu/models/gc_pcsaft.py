@@ -164,11 +164,16 @@ def assemble(
     )
 
 
-def phi_gc(g: GcParams, temperature, density):
+def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False):
     """Reduced residual Helmholtz energy density of a gc mixture (per item).
 
     Semantics match reference feos_torch/gc_pcsaft.py:116-253
     (golden-value tested over 11 molecule topologies).
+
+    ``assoc_q_form`` evaluates association as the Michelsen Q function at
+    stop-gradiented site fractions — exact values and first derivatives
+    with no implicit-function expansion under AD; used by the VLE solvers
+    (see pcsaft_mix.phi_mix for the full rationale).
     """
     rho = density
     n = g.m.shape[0]
@@ -259,14 +264,21 @@ def phi_gc(g: GcParams, temperature, density):
     induced_m = (n_assoc == 2) & (n_self == 1)
 
     phi = phi + jnp.where(
-        self_m, _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1), 0.0
+        self_m,
+        _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1,
+                        assoc_q_form),
+        0.0,
     )
     phi = phi + jnp.where(
-        cross_m, _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1), 0.0
+        cross_m,
+        _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1,
+                         assoc_q_form),
+        0.0,
     )
     phi = phi + jnp.where(
         induced_m,
-        _phi_induced_assoc(induced_m, g, temperature, rho, zeta2, zeta3_m1),
+        _phi_induced_assoc(induced_m, g, temperature, rho, zeta2, zeta3_m1,
+                           assoc_q_form),
         0.0,
     )
     return phi
@@ -291,7 +303,8 @@ def _assoc_strength_gc(i, j, mask, g: GcParams, temperature, zeta2, zeta3_m1):
     )
 
 
-def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
+                    q_form=False):
     """Single self-associating segment, closed form for nA = nB = 1
     (reference feos_torch/gc_pcsaft.py:309-330)."""
     sigma = jnp.where(mask, jnp.sum(g.sigma_assoc), 1.0)
@@ -312,10 +325,15 @@ def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
     )
     deltarho = delta * rho_a
     xa = 2.0 / (jnp.sqrt(1.0 + 4.0 * deltarho) + 1.0)
+    if q_form:
+        xa = jax.lax.stop_gradient(xa)
+        # Q form: two sites (A, B) per molecule share the fraction xa
+        return 2.0 * rho_a * (jnp.log(xa) - xa + 1.0) - rho_a * rho_a * xa * xa * delta
     return rho_a * (2.0 * jnp.log(xa) - xa + 1.0)
 
 
-def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
+                     q_form=False):
     """Two self-associating segments, nA = nB = 1 fixed point
     (reference feos_torch/gc_pcsaft.py:333-380)."""
 
@@ -325,12 +343,25 @@ def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
 
     d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
     d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
+    if q_form:
+        stop = jax.lax.stop_gradient
+        xa0, xa1 = (
+            stop(x)
+            for x in solve_cross_assoc_sym(stop(d00), stop(d01), stop(d10), stop(d11))
+        )
+        f1 = lambda x: jnp.log(x) - x + 1.0
+        # dij = Delta_ij * rho_j, so rho_i rho_j Delta_ij x_i x_j = rho_i x_i x_j d_ij
+        bil = rho[0] * xa0 * (xa0 * d00 + xa1 * d01) + rho[1] * xa1 * (
+            xa0 * d10 + xa1 * d11
+        )
+        return 2.0 * (rho[0] * f1(xa0) + rho[1] * f1(xa1)) - bil
     xa0, xa1 = solve_cross_assoc_sym(d00, d01, d10, d11)
     f = lambda x: 2.0 * jnp.log(x) - x + 1.0
     return rho[0] * f(xa0) + rho[1] * f(xa1)
 
 
-def _phi_induced_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
+def _phi_induced_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
+                       q_form=False):
     """One self-associating + one induced (nA = 0) segment
     (reference feos_torch/gc_pcsaft.py:383-441)."""
 
@@ -342,6 +373,24 @@ def _phi_induced_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1):
     d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
     na0, na1 = g.na[0], g.na[1]
     nb0, nb1 = g.nb[0], g.nb[1]
+    if q_form:
+        stop = jax.lax.stop_gradient
+        args = tuple(stop(v) for v in (d00, d01, d10, d11, na0, na1, nb0, nb1))
+        xa = stop(solve_induced_assoc(*args))
+        xb0 = stop(1.0 / (1.0 + xa * (args[4] * args[0] + args[5] * args[1])))
+        xb1 = stop(1.0 / (1.0 + xa * (args[4] * args[2] + args[5] * args[3])))
+        f1 = lambda x: jnp.log(x) - x + 1.0
+        rho_a = na0 * rho[0] + na1 * rho[1]
+        bil = xa * (
+            na0 * rho[0] * (nb0 * xb0 * d00 + nb1 * xb1 * d01)
+            + na1 * rho[1] * (nb0 * xb0 * d10 + nb1 * xb1 * d11)
+        )
+        return (
+            rho_a * f1(xa)
+            + rho[0] * nb0 * f1(xb0)
+            + rho[1] * nb1 * f1(xb1)
+            - bil
+        )
     xa = solve_induced_assoc(d00, d01, d10, d11, na0, na1, nb0, nb1)
     xb0 = 1.0 / (1.0 + xa * (na0 * d00 + na1 * d01))
     xb1 = 1.0 / (1.0 + xa * (na0 * d10 + na1 * d11))
@@ -414,11 +463,14 @@ class GcPcSaftMix:
         def solve_item(g, t, x1, pr):
             z = jnp.stack([x1, 1.0 - x1])
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
-            m_eff_d3 = jnp.sum(z * (g.m @ (d**3)))
+            md3 = g.m @ (d**3)
             g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
             t32 = t.astype(f32)
+            # Q-form association only in the f64 residual graph; the f32
+            # closure supplies Newton Jacobians and must stay the exact
+            # phi (see pcsaft_mix._incipient_property)
             return mix_vle(
-                lambda r: phi_gc(g, t, r), z, pr, m_eff_d3,
+                lambda r: phi_gc(g, t, r, assoc_q_form=True), z, pr, md3,
                 incipient_is_vapor=bubble,
                 phi_fn32=lambda r: phi_gc(g32, t32, r),
             )

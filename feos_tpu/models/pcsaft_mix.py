@@ -61,11 +61,26 @@ class MixParams(NamedTuple):
         return cls(*[parameters[..., i] for i in range(8)])
 
 
-def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density):
+def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
+            assoc_q_form: bool = False):
     """Reduced residual Helmholtz energy density of an n-component mixture.
 
     Per-item scalar function (``density`` has shape (n,)); semantics match
     reference feos_torch/pcsaft_mix.py:31-154 (golden-value tested).
+
+    With ``assoc_q_form`` the association contribution is evaluated as the
+    Michelsen Q function at stop-gradiented site fractions:
+
+        Q = sum_S rho_S (ln X_S - X_S + 1)
+            - sum_{A_i, B_j} rho_Ai rho_Bj X_Ai X_Bj Delta_ij(rho)
+
+    Q is stationary w.r.t. X at the mass-action solution and equals the
+    free energy there, so values and FIRST derivatives (mu, p~) are exact
+    while X stays a constant in the graph — no implicit-function expansion
+    under any AD transform.  Second derivatives miss the dX/drho cross
+    term, which is exactly the Jacobian-grade accuracy the VLE solvers
+    need (their roots are defined by first-order residuals); the exact
+    default form is used everywhere user-facing derivatives are taken.
     """
     m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
     rho = density
@@ -150,25 +165,34 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density):
 
     phi = phi + jnp.where(
         self_m,
-        _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1),
+        _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1,
+                        assoc_q_form),
         0.0,
     )
     phi = phi + jnp.where(
         cross_m,
         _phi_cross_assoc(
-            cross_m, p, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj
+            cross_m, p, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj,
+            assoc_q_form,
         ),
         0.0,
     )
     phi = phi + jnp.where(
         induced_m,
-        _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2, zeta3_m1),
+        _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2, zeta3_m1,
+                           assoc_q_form),
         0.0,
     )
     return phi
 
 
-def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1):
+def _q_f1(x):
+    """Per-site Q-form free energy  f1(X) = ln X - X + 1."""
+    return jnp.log(x) - x + 1.0
+
+
+def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1,
+                    q_form=False):
     """Single self-associating component, closed form
     (reference feos_torch/pcsaft_mix.py:210-239)."""
     kappa = jnp.sum(p.kappa_ab)
@@ -194,12 +218,17 @@ def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1):
     sqrt = jnp.sqrt(aux * aux + 4.0 * rhob * delta)
     xa = 2.0 / (sqrt + 1.0 + (rhob - rhoa) * delta)
     xb = 2.0 / (sqrt + 1.0 + (rhoa - rhob) * delta)
+    if q_form:
+        xa = jax.lax.stop_gradient(xa)
+        xb = jax.lax.stop_gradient(xb)
+        return rhoa * _q_f1(xa) + rhob * _q_f1(xb) - rhoa * rhob * xa * xb * delta
     f = site_fraction_free_energy
     return rhoa * f(xa) + rhob * f(xb)
 
 
 def _phi_cross_assoc(
-    mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj
+    mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj,
+    q_form=False,
 ):
     """Two self-associating components, 2-unknown fixed point
     (reference feos_torch/pcsaft_mix.py:241-321)."""
@@ -216,6 +245,24 @@ def _phi_cross_assoc(
     d00, d01, d10, d11 = delta(0, 0), delta(0, 1), delta(1, 0), delta(1, 1)
     rhoa = rho * p.na
     rhob = rho * p.nb
+    if q_form:
+        stop = jax.lax.stop_gradient
+        args = tuple(stop(v) for v in (d00, d01, d10, d11, rhoa[0], rhoa[1],
+                                       rhob[0], rhob[1]))
+        xa0, xa1 = (stop(x) for x in solve_cross_assoc(*args))
+        xb0 = stop(1.0 / (1.0 + xa0 * args[4] * args[0] + xa1 * args[5] * args[1]))
+        xb1 = stop(1.0 / (1.0 + xa0 * args[4] * args[2] + xa1 * args[5] * args[3]))
+        # Q bilinear term: sum over (A_i, B_j) pairs with Delta_ij(rho)
+        bil = (
+            rhoa[0] * rhob[0] * xa0 * xb0 * d00
+            + rhoa[0] * rhob[1] * xa0 * xb1 * d10
+            + rhoa[1] * rhob[0] * xa1 * xb0 * d01
+            + rhoa[1] * rhob[1] * xa1 * xb1 * d11
+        )
+        return (
+            rhoa[0] * _q_f1(xa0) + rhoa[1] * _q_f1(xa1)
+            + rhob[0] * _q_f1(xb0) + rhob[1] * _q_f1(xb1) - bil
+        )
     xa0, xa1 = solve_cross_assoc(
         d00, d01, d10, d11, rhoa[0], rhoa[1], rhob[0], rhob[1]
     )
@@ -225,7 +272,8 @@ def _phi_cross_assoc(
     return rhoa[0] * f(xa0) + rhoa[1] * f(xa1) + rhob[0] * f(xb0) + rhob[1] * f(xb1)
 
 
-def _phi_induced_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1):
+def _phi_induced_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1,
+                       q_form=False):
     """One self-associating + one induced (nA = 0) component
     (reference feos_torch/pcsaft_mix.py:324-393)."""
     kappa = jnp.where(mask, p.kappa_ab, 1.0)
@@ -240,6 +288,25 @@ def _phi_induced_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1)
     d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
     na0, na1 = p.na[0], p.na[1]
     nb0, nb1 = p.nb[0], p.nb[1]
+    if q_form:
+        stop = jax.lax.stop_gradient
+        args = tuple(stop(v) for v in (d00, d01, d10, d11, na0, na1, nb0, nb1))
+        xa = stop(solve_induced_assoc(*args))
+        xb0 = stop(1.0 / (1.0 + xa * (args[4] * args[0] + args[5] * args[1])))
+        xb1 = stop(1.0 / (1.0 + xa * (args[4] * args[2] + args[5] * args[3])))
+        # sites: shared-A (rho-weighted na) + B_0 + B_1; dij here are
+        # Delta_ij * rho_j, so rho_Ai rho_Bj Delta_ij = (na_i rho_i) nb_j d_ij
+        rho_a = na0 * rho[0] + na1 * rho[1]
+        bil = xa * (
+            na0 * rho[0] * (nb0 * xb0 * d00 + nb1 * xb1 * d01)
+            + na1 * rho[1] * (nb0 * xb0 * d10 + nb1 * xb1 * d11)
+        )
+        return (
+            rho_a * _q_f1(xa)
+            + rho[0] * nb0 * _q_f1(xb0)
+            + rho[1] * nb1 * _q_f1(xb1)
+            - bil
+        )
     xa = solve_induced_assoc(d00, d01, d10, d11, na0, na1, nb0, nb1)
     xb0 = 1.0 / (1.0 + xa * (na0 * d00 + na1 * d01))
     xb1 = 1.0 / (1.0 + xa * (na0 * d10 + na1 * d11))
@@ -323,11 +390,19 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
     def solve_item(pi, ki, ei, t, x1, pr):
         z = jnp.stack([x1, 1.0 - x1])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
-        m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        md3 = pi.m * d**3
         pi32 = MixParams(*(v.astype(f32) for v in pi))
         ki32, ei32, t32 = ki.astype(f32), ei.astype(f32), t.astype(f32)
+        # the f64 residual needs exact values and FIRST derivatives only ->
+        # the Q-form association (stationary at stop-gradiented site
+        # fractions) keeps implicit-function machinery out of the f64
+        # graphs, the dominant TPU compile cost.  The f32 closure must stay
+        # the EXACT phi: it supplies the Newton JACOBIANS (second
+        # derivatives), and the Q form's second derivatives miss the
+        # dX/drho terms — at strong association that stalls Newton.
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, t, r), z, pr, m_eff_d3,
+            lambda r: phi_mix(pi, ki, ei, t, r, assoc_q_form=True),
+            z, pr, md3,
             incipient_is_vapor=bubble,
             phi_fn32=lambda r: phi_mix(pi32, ki32, ei32, t32, r),
         )

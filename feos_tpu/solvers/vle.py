@@ -406,8 +406,14 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
         )
         lvl0 = lvl0.astype(p.m.dtype)
         ln_inf = ln_inf.astype(p.m.dtype)
-        polish_iter = 40
-        jac_params = (p32, t32)
+        # exact f64 Jacobian for the polish: near-critical rows have
+        # ill-conditioned 2x2 systems where an f32 Jacobian stalls below
+        # the acceptance residual (measured: -0.7% converged, and the
+        # stalled rows drive the whole batched loop to max_iter);
+        # 18 iterations cover the ultra-low-psat rows, which now start
+        # within ~1e-2 of the root thanks to the log-space vapor init
+        polish_iter = 18
+        jac_params = None
     else:
         lvl0, ln_inf, ok_l, supercritical = _vle_init(
             p, temperature, step_tol=_STEP_TOL
@@ -417,7 +423,7 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
 
     lvl, keep = _vle_newton(
         p, temperature, lvl0, ln_inf, max_iter=polish_iter, step_tol=_STEP_TOL,
-        res_rtol=1e-9, res_abs=1e-13, mu_tol=1e-9, jac_params=jac_params,
+        res_rtol=1e-9, res_abs=1e-12, mu_tol=1e-9, jac_params=jac_params,
     )
     rho = jnp.exp(lvl)
     rho_v, rho_l = rho[0], rho[1]
@@ -428,7 +434,14 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
     # dominates when the vapor pressure itself is many orders smaller
     # (strong association at low T)
     r_p, r_mu, dpt_v, dpt_l = keep[0], keep[1], keep[2], keep[3]
-    p_noise = 1e-13 * jnp.abs(rho_l * dpt_l)
+    # the coefficient is calibrated against the measured evaluation-noise
+    # floor of the liquid p~ (~4e-13 x scale on XLA:CPU f64, similar under
+    # the TPU's emulated f64): acceptance must sit above it or rows at
+    # low-but-not-tiny vapor pressures get rejected on noise.  The value
+    # error this admits stays quadratically suppressed by the stationary
+    # re-attachment identity: drho/rho ~ r_p/(rho_v dpt_v) ~ 1e-5 worst
+    # case -> relative pressure error O(1e-10).
+    p_noise = 2e-12 * jnp.abs(rho_l * dpt_l)
     res_p_ok = jnp.abs(r_p) < (_RES_RTOL * jnp.abs(rho_v * dpt_v) + p_noise)
     ok = (
         ok_l
@@ -530,7 +543,7 @@ _N_SS_WARMUP = 16
 _MAX_MIX_ITER = 80
 
 
-def _mix_init(phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol):
+def _mix_init(phi_fn, z, p0, md3, incipient_is_vapor, step_tol):
     """Initialization for the mixture VLE Newton (one dtype, one phi graph
     per loop body).
 
@@ -555,6 +568,8 @@ def _mix_init(phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol):
     n = z.shape[0]
     dtype = z.dtype
     inf = jnp.asarray(jnp.inf, dtype=dtype)
+    z_md3 = jnp.sum(z * md3)
+    eta_factor = PI / 6.0 * z_md3
 
     # -- stage 1: grid scan ------------------------------------------------
     rho_grid = jnp.asarray(_ETA_GRID, dtype=dtype) / eta_factor
@@ -578,10 +593,21 @@ def _mix_init(phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol):
     ln_grid = jnp.log(rho_grid)
     ln_rho_sv = jnp.where(has_loop, ln_grid[jnp.minimum(first_u, k_seg)], inf)
     ln_rho_sl = jnp.where(has_loop, ln_grid[jnp.minimum(last_u + 1, k_seg)], -inf)
+    # the grid scan (and so the spinodal bounds) is at the BULK composition
+    # z; the incipient phase rotates its composition, and equal packing
+    # fraction then means a different molar density.  Widen the incipient
+    # branch limits by the extreme per-component size ratio so the
+    # projection cannot clamp an eta-equivalent state off its branch.
     if incipient_is_vapor:
-        limits = (-inf, ln_rho_sv, ln_rho_sl, inf)
+        # incipient vapor rotates toward smaller molecules -> spinodal cap
+        # at equal eta sits at a HIGHER molar density
+        ln_inc_cap = ln_rho_sv + jnp.log(z_md3 / jnp.min(md3))
+        limits = (-inf, ln_inc_cap, ln_rho_sl, inf)
     else:
-        limits = (ln_rho_sl, inf, -inf, ln_rho_sv)
+        # incipient liquid rotates toward larger molecules -> branch floor
+        # at equal eta sits at a LOWER molar density
+        ln_inc_floor = ln_rho_sl + jnp.log(z_md3 / jnp.max(md3))
+        limits = (ln_inc_floor, inf, -inf, ln_rho_sv)
 
     # -- stage 2: branch NPT solves (lane 0 = liquid, lane 1 = vapor) ------
     def npt_pt(lr):
@@ -642,12 +668,16 @@ def _mix_init(phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol):
             ln_i_new = ln_i + jnp.clip(target - ln_i, -1.0, 1.0)
         else:
             # liquid incipient: the raw exp map diverges toward the trivial
-            # vapor root; rotate only the composition and pin the total
-            # density at the NPT liquid value.  The bulk (vapor) total is
-            # re-estimated from the ideal-vapor identity
-            # rho_V_i ~ exp(mu~_i(incipient liquid)).
+            # vapor root; rotate only the composition and pin the PACKING
+            # FRACTION at the NPT liquid value (pinning the molar density
+            # over-compresses the liquid once the composition rotates to
+            # larger molecules -> positive residual mu -> period-2
+            # oscillation; at equal eta the liquid stays near its branch
+            # for any composition).  The bulk (vapor) total is re-estimated
+            # from the ideal-vapor identity rho_V_i ~ exp(mu~_i(liquid)).
             ln_x = target - jax.scipy.special.logsumexp(target)
-            ln_i_new = ln_x + jnp.log(rho_inc_t0)
+            eta_corr = z_md3 / jnp.sum(jnp.exp(ln_x) * md3)
+            ln_i_new = ln_x + jnp.log(rho_inc_t0 * eta_corr)
             mu_inc = ln_i + g[0]
             ln_bt = jnp.minimum(
                 jax.scipy.special.logsumexp(jnp.clip(mu_inc, -78.0, 78.0)),
@@ -687,7 +717,8 @@ def _mix_newton(
     term of the TPU compile time (f64 is software-emulated and its
     expansion multiplies the executable).
 
-    Returns ``(u, out)`` with ``out = [residual (n+1), p~_inc]``.
+    Returns ``(u, out)`` with
+    ``out = [residual (n+1), p~_inc, p~_bulk, pressure-row stiffness]``.
     """
     n = z.shape[0]
     dtype = u0.dtype
@@ -700,7 +731,7 @@ def _mix_newton(
         pt, g = _states_eos(phi_fn, R)
         mu = jnp.log(R) + g
         return jnp.concatenate(
-            [mu[0] - mu[1], (pt[0] - pt[1])[None], pt[0][None]]
+            [mu[0] - mu[1], (pt[0] - pt[1])[None], pt[0][None], pt[1][None]]
         )
 
     def jac_from_hess(u):
@@ -748,6 +779,12 @@ def _mix_newton(
         else:
             out = residual_aux(u)
             Jsq = jac_from_hess(u)
+        # pressure-row stiffness |d p~/d ln rho| = rho * dp~/drho of the
+        # stiffer phase: sets the absolute evaluation-noise scale of the
+        # pressure-equality residual (liquid p~ is a cancellation of terms
+        # of this size; see the pure solver's p_noise)
+        stiff = jnp.maximum(jnp.abs(Jsq[n, n]), jnp.sum(jnp.abs(Jsq[n, :n])))
+        out = jnp.concatenate([out, stiff[None]])
         r = out[: n + 1]
         step = _solve3(Jsq, r) if n == 2 else jnp.linalg.solve(Jsq, r)
         tot = jnp.sum(jnp.exp(u[:n]))
@@ -763,14 +800,14 @@ def _mix_newton(
         out_new = jnp.where(done, out_keep, out)
         return u_new, out_new, it + 1, done | converged | bad
 
-    out0 = jnp.full((n + 2,), jnp.inf, dtype=u0.dtype)
+    out0 = jnp.full((n + 4,), jnp.inf, dtype=u0.dtype)
     u, out, _, _ = jax.lax.while_loop(
         cond, body, (u0, out0, 0, jnp.array(False))
     )
     return u, out
 
 
-def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
+def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
     """Bubble/dew-point solve for an n-component mixture (per item).
 
     Bulk phase has known mole fractions ``z`` (liquid for bubble, vapor for
@@ -783,8 +820,10 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
     Initialization from NPT solves at the caller-provided pressure estimate
     ``p0`` (the reference forwards the same estimate to the feos crate,
     src/pcsaft.rs:170), followed by successive-substitution warmup on the
-    incipient fugacities and a damped full Newton finish.  ``m_eff_d3`` is
-    sum_i z_i m_i d_i^3, used for the eta = 0.5 liquid initialization.
+    incipient fugacities and a damped full Newton finish.  ``md3`` is the
+    per-component vector m_i d_i^3, used for the eta = 0.5 liquid
+    initialization (via z . md3) and to keep the incipient phase at equal
+    packing fraction while its composition rotates.
     Replaces ``PhaseEquilibrium::bubble_point/dew_point``
     (src/pcsaft.rs:150-214).
 
@@ -796,19 +835,19 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
     short f64 Newton polish (quadratic from ~1e-4) plus f64 acceptance
     keeps final accuracy identical to the pure-f64 path.
 
-    Returns ``(rho_incipient (n,), rho_bulk (n,), ok, p~_incipient)`` —
-    the reduced equilibrium pressure comes from the carried residual state
-    (exact at the converged root, no extra phi evaluation).
+    Returns ``(rho_incipient (n,), rho_bulk (n,), ok, p~_eq)`` — the
+    reduced equilibrium pressure, taken from the carried residual state on
+    the VAPOR side (exact at the converged root, no extra phi evaluation,
+    and free of the liquid p~ cancellation noise).
     """
     n = z.shape[0]
     dtype = z.dtype
-    eta_factor = PI / 6.0 * m_eff_d3
 
     if phi_fn32 is not None:
         f32 = jnp.float32
         z32 = z.astype(f32)
         u0, limits32, init_ok = _mix_init(
-            phi_fn32, z32, p0.astype(f32), eta_factor.astype(f32),
+            phi_fn32, z32, p0.astype(f32), md3.astype(f32),
             incipient_is_vapor, step_tol=1e-5,
         )
         u0, _ = _mix_newton(
@@ -820,7 +859,7 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
         polish_iter = 30
     else:
         u0, limits, init_ok = _mix_init(
-            phi_fn, z, p0, eta_factor, incipient_is_vapor, step_tol=_STEP_TOL
+            phi_fn, z, p0, md3, incipient_is_vapor, step_tol=_STEP_TOL
         )
         polish_iter = _MAX_MIX_ITER
 
@@ -833,12 +872,18 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
     rho_inc = jnp.exp(u[:n])
     rho_bulk = z * jnp.exp(u[n])
     r = out[: n + 1]
-    pt_inc = out[n + 1]
+    # report the VAPOR-side pressure: the liquid p~ is a cancellation of
+    # large terms whose f64 noise floor (~1e-12 reduced, absolute) is
+    # percent-level relative error at Pa-scale dew pressures, while the
+    # vapor p~ ~ sum(rho_V) is well-conditioned.  At the converged root
+    # the two sides agree within the residual tolerance.
+    pt_eq = out[n + 1] if incipient_is_vapor else out[n + 2]
     scale_p = jnp.sum(rho_inc)
     res_mu = jnp.max(jnp.abs(r[:n]))
     # absolute allowance for the liquid-pressure cancellation noise (see
-    # the pure solver): the denser state sets the noise scale
-    p_noise = 1e-12 * jnp.maximum(jnp.sum(rho_inc), jnp.sum(rho_bulk))
+    # the pure solver): the carried pressure-row stiffness rho*dp~/drho of
+    # the stiffer phase sets the evaluation-noise scale
+    p_noise = 2e-12 * out[n + 3]
     res_p = jnp.abs(r[n]) / (scale_p + p_noise / _RES_RTOL)
     trivial = jnp.abs(jnp.log(jnp.sum(rho_inc)) - u[n]) < 1e-5
     if incipient_is_vapor:
@@ -852,6 +897,6 @@ def mix_vle(phi_fn, z, p0, m_eff_d3, incipient_is_vapor: bool, phi_fn32=None):
         & (res_p < _RES_RTOL)
         & ~trivial
         & ordered
-        & (pt_inc > 0.0)
+        & (pt_eq > 0.0)
     )
-    return rho_inc, rho_bulk, ok, pt_inc
+    return rho_inc, rho_bulk, ok, pt_eq

@@ -74,3 +74,37 @@ def test_vapor_pressure_clausius_clapeyron_sign():
     nans, vp = jax.jit(vapor_pressure)(params, T)
     assert not np.any(nans)
     assert np.all(np.diff(np.asarray(vp)) > 0)
+
+
+def test_assoc_q_form_matches_exact_phi():
+    """The Michelsen Q-form association (stop-gradiented site fractions,
+    used by the VLE solvers' f64 residual) must agree with the exact
+    implicit-diff phi in VALUES and FIRST density derivatives over all 14
+    golden regime cases — Q is stationary w.r.t. the site fractions at the
+    mass-action solution.  (Second derivatives intentionally differ.)"""
+    import json
+    from pathlib import Path
+
+    from feos_tpu.models.pcsaft_mix import MixParams, phi_mix
+
+    d = json.loads(
+        (Path(__file__).parent / "golden" / "mix_helmholtz.json").read_text()
+    )
+    T = jnp.float64(d["temperature"])
+    rho = jnp.asarray(d["density"])
+
+    @jax.jit
+    def both(parr, kv, ev):
+        p = MixParams.from_array(parr)
+        exact = lambda r: phi_mix(p, kv, ev, T, r)
+        qform = lambda r: phi_mix(p, kv, ev, T, r, assoc_q_form=True)
+        v_e, g_e = jax.value_and_grad(exact)(rho)
+        v_q, g_q = jax.value_and_grad(qform)(rho)
+        return v_e, v_q, g_e, g_q
+
+    for parr, kij in zip(d["params"], d["kij"]):
+        v_e, v_q, g_e, g_q = both(
+            jnp.asarray(parr), jnp.float64(kij[0]), jnp.float64(kij[1])
+        )
+        np.testing.assert_allclose(np.asarray(v_q), np.asarray(v_e), rtol=1e-13)
+        np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_e), rtol=1e-12)

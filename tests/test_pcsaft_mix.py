@@ -203,3 +203,36 @@ def test_mix_reduces_to_pure_at_trace_dilution():
     a_mix = jax.jit(M.helmholtz_energy_density)(params, None, T, rho)
     a_pure = PcSaftPure(np.array([comp1])).helmholtz_energy(T, jnp.array([0.004]))
     np.testing.assert_allclose(a_mix, a_pure, rtol=1e-12)
+
+
+def test_dew_point_robust_to_high_p0():
+    """Dew solve with a size-asymmetric binary (butane/octane-like) and an
+    initial pressure ~30x above the true dew pressure.  Regression test for
+    the dew SS warmup: pinning the incipient liquid's MOLAR density while
+    its composition rotated to the heavy component over-compressed the
+    liquid (positive residual mu) and caused a period-2 oscillation; the
+    warmup now pins the packing fraction instead."""
+    params = np.array(
+        [[[2.33, 3.71, 222.88, 0, 0, 0, 0, 0],
+          [3.82, 3.84, 242.78, 0, 0, 0, 0, 0]]] * 2,
+        dtype=np.float64,
+    )
+    kij = np.zeros((2, 2))
+    T = jnp.full((2,), 300.0)
+    y = jnp.full((2,), 0.4)
+    p0 = jnp.full((2,), 1e5)
+    pd, nd = jax.jit(M.dew_point)(params, kij, T, y, p0)
+    assert not np.any(nd)
+    pb, nb = jax.jit(M.bubble_point)(params, kij, T, y, p0)
+    assert not np.any(nb)
+    # dew well below bubble for this wide-boiling pair
+    assert np.all(np.asarray(pd) < 0.5 * np.asarray(pb))
+    # cross-check against the independent C++ oracle
+    from feos_tpu import cpu_backend
+
+    _, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
+        np.asarray(params), np.asarray(kij), np.asarray(T), np.asarray(y),
+        np.asarray(p0), bubble=False,
+    )
+    assert ok_cpp.all()
+    np.testing.assert_allclose(np.asarray(pd), p_cpp, rtol=1e-7)

@@ -108,13 +108,18 @@ def test_gradients_fd(prop, args, params, h):
         _, val = fn(p[None, :], *args)
         return val[0]
 
+    # one jitted callable reused for every FD evaluation: eager calls
+    # re-trace the solver while_loops per call (slow), and under this
+    # sandbox's remote-compile environment the resulting per-primitive
+    # persistent-cache round trips have crashed the process
+    f_jit = jax.jit(f)
     p0 = jnp.array(params, dtype=jnp.float64)
     grad = jax.jit(jax.grad(f))(p0)
-    val0 = f(p0)
+    val0 = f_jit(p0)
     for i in range(6):
         hi = params[i] * h
         ph = p0.at[i].add(hi)
-        fd = (f(ph) - val0) / hi
+        fd = (f_jit(ph) - val0) / hi
         assert np.abs((fd - grad[i]) / grad[i]) < 1e-4, (
             f"param {i}: fd={fd} grad={grad[i]}"
         )

@@ -21,9 +21,9 @@ def _solve(parr, kij, eps, T, x1, p0_red, bubble):
     def item(pi, ki, ei, t, x, pr):
         z = jnp.stack([x, 1.0 - x])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
-        m_eff_d3 = jnp.sum(z * pi.m * d**3)
+        md3 = pi.m * d**3
         phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
-        rho_inc, rho_bulk, ok, _ = mix_vle(phi_fn, z, pr, m_eff_d3, bubble)
+        rho_inc, rho_bulk, ok, _ = mix_vle(phi_fn, z, pr, md3, bubble)
         R = jnp.stack([rho_inc, rho_bulk])
         pt, g = _states_eos(phi_fn, R)
         mu = jnp.log(R) + g
