@@ -117,10 +117,15 @@ def config3():
     x = jnp.full((B,), 0.5)
     p0 = jnp.full((B,), 1e5)
 
-    bubble = jax.jit(M.bubble_point)
-    dew = jax.jit(M.dew_point)
-    dtb, (pb, nb) = _timeit(bubble, params, kij, T, x, p0, reps=3)
-    dtd, (pd, nd) = _timeit(dew, params, kij, T, x, p0, reps=3)
+    # the facade derives the static phi-branch specialization from the
+    # concrete batch (the user-facing calling convention)
+    from feos_tpu import PcSaftMix
+
+    eos = PcSaftMix(np.asarray(params), np.asarray(kij))
+    bubble = jax.jit(eos.bubble_point)
+    dew = jax.jit(eos.dew_point)
+    dtb, (pb, nb) = _timeit(bubble, T, x, p0, reps=3)
+    dtd, (pd, nd) = _timeit(dew, T, x, p0, reps=3)
     okb = int(jnp.sum(~nb))
     okd = int(jnp.sum(~nd))
     report("mix_bubble_points_per_sec", okb / dtb, "1/s", converged_frac=okb / B)

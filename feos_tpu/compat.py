@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.pcsaft_mix import MixParams, phi_mix
+from .models.pcsaft_mix import MixParams, phi_mix, static_branches
 from .models.pcsaft_pure import PureParams
 from .units import PA_PER_KT_TO_REDUCED
 
@@ -90,6 +90,8 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
     x = jnp.asarray(molefracs, dtype=jnp.float64)
     p_red = jnp.asarray(pressure, dtype=jnp.float64) / t * PA_PER_KT_TO_REDUCED
 
+    br = static_branches(parameters)
+
     def item(pi, ki, ei, ti, xi, pr):
         z = jnp.stack([xi, 1.0 - xi])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / ti))
@@ -97,11 +99,13 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
         f32 = jnp.float32
         pi32 = MixParams(*(v.astype(f32) for v in pi))
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, ti, r, assoc_q_form=True),
+            lambda r: phi_mix(pi, ki, ei, ti, r, assoc_q_form=True,
+                              branches=br),
             z, pr, md3,
             incipient_is_vapor=bubble,
             phi_fn32=lambda r: phi_mix(
-                pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32), r
+                pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32), r,
+                branches=br,
             ),
         )
 
@@ -150,12 +154,14 @@ class GcPcSaft:
         )
 
     def _solve(self, temperature, molefracs, pressure, bubble):
-        from .models.gc_pcsaft import _GC_BATCH_AXES, phi_gc
+        from .models.gc_pcsaft import _GC_BATCH_AXES, phi_gc, static_branches_gc
         from .solvers.vle import mix_vle
 
         t = jnp.asarray(temperature, dtype=jnp.float64)
         x = jnp.asarray(molefracs, dtype=jnp.float64)
         p_red = jnp.asarray(pressure, dtype=jnp.float64) / t * PA_PER_KT_TO_REDUCED
+
+        br = static_branches_gc(self.params)
 
         def item(g, ti, xi, pr):
             z = jnp.stack([xi, 1.0 - xi])
@@ -164,9 +170,10 @@ class GcPcSaft:
             f32 = jnp.float32
             g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
             return mix_vle(
-                lambda r: phi_gc(g, ti, r, assoc_q_form=True), z, pr, md3,
+                lambda r: phi_gc(g, ti, r, assoc_q_form=True, branches=br),
+                z, pr, md3,
                 incipient_is_vapor=bubble,
-                phi_fn32=lambda r: phi_gc(g32, ti.astype(f32), r),
+                phi_fn32=lambda r: phi_gc(g32, ti.astype(f32), r, branches=br),
             )
 
         rho_inc, rho_bulk, ok, _ = jax.jit(

@@ -164,7 +164,8 @@ def assemble(
     )
 
 
-def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False):
+def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
+           branches=None):
     """Reduced residual Helmholtz energy density of a gc mixture (per item).
 
     Semantics match reference feos_torch/gc_pcsaft.py:116-253
@@ -249,39 +250,75 @@ def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False):
 
     phi = hs + hc + disp
 
-    # dipole on component-level mixed parameters
-    dipolar = jnp.any(g.mu2 > 0.0)
-    dip = phi_dipole(
-        g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2, temperature, rho, etas
-    )
-    phi = phi + jnp.where(dipolar, dip, 0.0)
+    # trace-time branch specialization (see pcsaft_mix.phi_mix /
+    # static_branches_gc): dead regime subgraphs are removed statically
+    # when the assembled parameter batch is concrete
+    if branches is None:
+        branches = _ALL_BRANCHES
+
+    if "dipole" in branches:
+        # dipole on component-level mixed parameters
+        dipolar = jnp.any(g.mu2 > 0.0)
+        dip = phi_dipole(
+            g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2, temperature, rho, etas
+        )
+        phi = phi + jnp.where(dipolar, dip, 0.0)
 
     # association regimes (reference feos_torch/gc_pcsaft.py:220-251)
     n_assoc = jnp.count_nonzero(g.kappa_ab * g.epsilon_k_ab)
     n_self = jnp.count_nonzero(g.na * g.nb)
-    self_m = (n_assoc == 1) & (n_self == 1)
-    cross_m = (n_assoc == 2) & (n_self == 2)
-    induced_m = (n_assoc == 2) & (n_self == 1)
 
-    phi = phi + jnp.where(
-        self_m,
-        _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1,
-                        assoc_q_form),
-        0.0,
-    )
-    phi = phi + jnp.where(
-        cross_m,
-        _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1,
-                         assoc_q_form),
-        0.0,
-    )
-    phi = phi + jnp.where(
-        induced_m,
-        _phi_induced_assoc(induced_m, g, temperature, rho, zeta2, zeta3_m1,
-                           assoc_q_form),
-        0.0,
-    )
+    if "self" in branches:
+        self_m = (n_assoc == 1) & (n_self == 1)
+        phi = phi + jnp.where(
+            self_m,
+            _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1,
+                            assoc_q_form),
+            0.0,
+        )
+    if "cross" in branches:
+        cross_m = (n_assoc == 2) & (n_self == 2)
+        phi = phi + jnp.where(
+            cross_m,
+            _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1,
+                             assoc_q_form),
+            0.0,
+        )
+    if "induced" in branches:
+        induced_m = (n_assoc == 2) & (n_self == 1)
+        phi = phi + jnp.where(
+            induced_m,
+            _phi_induced_assoc(induced_m, g, temperature, rho, zeta2,
+                               zeta3_m1, assoc_q_form),
+            0.0,
+        )
     return phi
+
+
+_ALL_BRANCHES = frozenset({"dipole", "self", "cross", "induced"})
+
+
+def static_branches_gc(g: GcParams):
+    """Reachable phi branches for a CONCRETE assembled batch, or ``None``
+    (see pcsaft_mix.static_branches)."""
+    try:
+        mu2 = np.asarray(g.mu2)
+        ka = np.asarray(g.kappa_ab) * np.asarray(g.epsilon_k_ab)
+        ns = np.asarray(g.na) * np.asarray(g.nb)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
+    out = set()
+    if np.any(mu2 > 0.0):
+        out.add("dipole")
+    n_assoc = np.count_nonzero(ka, axis=-1)
+    n_self = np.count_nonzero(ns, axis=-1)
+    if np.any((n_assoc == 1) & (n_self == 1)):
+        out.add("self")
+    if np.any((n_assoc == 2) & (n_self == 2)):
+        out.add("cross")
+    if np.any((n_assoc == 2) & (n_self == 1)):
+        out.add("induced")
+    return frozenset(out)
 
 
 def _assoc_strength_gc(i, j, mask, g: GcParams, temperature, zeta2, zeta3_m1):
@@ -430,15 +467,18 @@ class GcPcSaftMix:
         )
 
     def helmholtz_energy_density(self, temperature, density):
-        return _vmap_gc(phi_gc)(
+        br = static_branches_gc(self.params)
+        return _vmap_gc(lambda g, t, r: phi_gc(g, t, r, branches=br))(
             self.params,
             jnp.asarray(temperature, dtype=jnp.float64),
             jnp.asarray(density, dtype=jnp.float64),
         )
 
     def derivatives(self, temperature, density):
+        br = static_branches_gc(self.params)
+
         def per_item(g, t, rho):
-            return pressure_set(lambda r: phi_gc(g, t, r), rho)
+            return pressure_set(lambda r: phi_gc(g, t, r, branches=br), rho)
 
         return _vmap_gc(per_item)(
             self.params,
@@ -450,15 +490,16 @@ class GcPcSaftMix:
         """Value from the solver's carried state, gradient from the
         stationary identity with f32 partial molar volumes — see
         pcsaft_mix._incipient_property for the full rationale."""
-        from ..solvers.vle import _states_eos, mix_vle
+        from ..solvers.vle import (
+            _states_eos, mix_vle, solve_with_identity_gradients,
+        )
 
         temperature = jnp.asarray(temperature, dtype=jnp.float64)
         molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
         pressure = jnp.asarray(pressure, dtype=jnp.float64)
         p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
-        stop = jax.lax.stop_gradient
-        g_stop = jax.tree_util.tree_map(stop, self.params)
         f32 = jnp.float32
+        br = static_branches_gc(self.params)
 
         def solve_item(g, t, x1, pr):
             z = jnp.stack([x1, 1.0 - x1])
@@ -470,27 +511,27 @@ class GcPcSaftMix:
             # closure supplies Newton Jacobians and must stay the exact
             # phi (see pcsaft_mix._incipient_property)
             return mix_vle(
-                lambda r: phi_gc(g, t, r, assoc_q_form=True), z, pr, md3,
+                lambda r: phi_gc(g, t, r, assoc_q_form=True, branches=br),
+                z, pr, md3,
                 incipient_is_vapor=bubble,
-                phi_fn32=lambda r: phi_gc(g32, t32, r),
+                phi_fn32=lambda r: phi_gc(g32, t32, r, branches=br),
             )
 
-        rho_inc, rho_bulk, ok, pt_inc = jax.vmap(
-            solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0)
-        )(g_stop, stop(temperature), stop(molefracs), stop(p_red))
-        # sanitize failed lanes before re-attachment (see pcsaft_mix)
-        rho_inc = jnp.where(ok[:, None], stop(rho_inc), 1e-5)
-        rho_bulk = jnp.where(ok[:, None], stop(rho_bulk), 1e-3)
-        pt_inc = jnp.where(ok, stop(pt_inc), 1.0)
+        def solve_batch(diff_args):
+            gd, td = diff_args
+            return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+                gd, td, molefracs, p_red
+            )
 
         def attach(g, t, r_inc, r_bulk):
-            phi_fn = lambda r: phi_gc(g, t, r)
+            phi_fn = lambda r: phi_gc(g, t, r, branches=br)
             p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
             p_b = p_b[0]
             mu_b = jnp.log(r_bulk) + g_b[0]
             g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
             v_b = pressure_set(
-                lambda r: phi_gc(g32, t.astype(f32), r), r_bulk.astype(f32)
+                lambda r: phi_gc(g32, t.astype(f32), r, branches=br),
+                r_bulk.astype(f32),
             )[3].astype(jnp.float64)
             rho_inc_t = jnp.sum(r_inc)
             w = r_inc / rho_inc_t
@@ -499,11 +540,18 @@ class GcPcSaftMix:
             g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
             return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
-        p_red_ident = jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-            self.params, temperature, rho_inc, rho_bulk
+        def ident_batch(diff_args, rho_inc, rho_bulk):
+            gd, td = diff_args
+            return jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+                gd, td, rho_inc, rho_bulk
+            )
+
+        # value from the solver, derivatives from the stationary identity
+        # (custom_jvp: identity traced only under AD; see solvers/vle.py)
+        pt_eq, ok, _, _ = solve_with_identity_gradients(
+            solve_batch, ident_batch, (self.params, temperature)
         )
-        p_red_out = pt_inc + (p_red_ident - stop(p_red_ident))
-        pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
+        pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
         return jnp.where(ok, pressure_out, jnp.nan), ~ok
 
     def bubble_point(self, temperature, liquid_molefracs, pressure):

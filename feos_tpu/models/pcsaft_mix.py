@@ -62,7 +62,7 @@ class MixParams(NamedTuple):
 
 
 def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
-            assoc_q_form: bool = False):
+            assoc_q_form: bool = False, branches=None):
     """Reduced residual Helmholtz energy density of an n-component mixture.
 
     Per-item scalar function (``density`` has shape (n,)); semantics match
@@ -149,41 +149,89 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
 
     phi = hs + hc + disp
 
-    # dipole (masked lanes instead of row subsetting)
-    mu2 = p.mu**2 / (m * sigma**3 * epsilon_k) * MU2_FACTOR
-    dipolar = jnp.any(mu2 > 0.0)
-    mu2_scaled = sigma**3 * epsilon_k * mu2
-    dip = phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas)
-    phi = phi + jnp.where(dipolar, dip, 0.0)
+    # Trace-time branch specialization: ``branches`` (a frozenset drawn
+    # from {"dipole", "self", "cross", "induced"}) statically removes
+    # regime subgraphs that no row of the batch can reach.  The regimes
+    # depend only on PARAMETERS (mu, na, nb), so the API layer inspects
+    # concrete parameter batches before jit and passes the reachable set
+    # (:func:`static_branches`); ``None`` keeps every branch traced — the
+    # general masked form.  Each phi instantiation is multiplied ~30x
+    # through the solver graphs, and the dead regimes (each with its own
+    # inner fixed-point solve) dominate the lowered program for typical
+    # single-regime batches.
+    if branches is None:
+        branches = _ALL_BRANCHES
+
+    if "dipole" in branches:
+        # dipole (masked lanes instead of row subsetting)
+        mu2 = p.mu**2 / (m * sigma**3 * epsilon_k) * MU2_FACTOR
+        dipolar = jnp.any(mu2 > 0.0)
+        mu2_scaled = sigma**3 * epsilon_k * mu2
+        dip = phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas)
+        phi = phi + jnp.where(dipolar, dip, 0.0)
 
     # association regime dispatch (reference feos_torch/pcsaft_mix.py:117-152)
     n_assoc = jnp.count_nonzero(p.na + p.nb)
     n_self = jnp.count_nonzero(p.na * p.nb)
-    self_m = (n_assoc == 1) & (n_self == 1)
-    cross_m = (n_assoc == 2) & (n_self == 2)
-    induced_m = (n_assoc == 2) & (n_self == 1)
 
-    phi = phi + jnp.where(
-        self_m,
-        _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1,
-                        assoc_q_form),
-        0.0,
-    )
-    phi = phi + jnp.where(
-        cross_m,
-        _phi_cross_assoc(
-            cross_m, p, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj,
-            assoc_q_form,
-        ),
-        0.0,
-    )
-    phi = phi + jnp.where(
-        induced_m,
-        _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2, zeta3_m1,
-                           assoc_q_form),
-        0.0,
-    )
+    if "self" in branches:
+        self_m = (n_assoc == 1) & (n_self == 1)
+        phi = phi + jnp.where(
+            self_m,
+            _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1,
+                            assoc_q_form),
+            0.0,
+        )
+    if "cross" in branches:
+        cross_m = (n_assoc == 2) & (n_self == 2)
+        phi = phi + jnp.where(
+            cross_m,
+            _phi_cross_assoc(
+                cross_m, p, temperature, rho, d, zeta2, zeta3_m1,
+                epsilon_k_aibj, assoc_q_form,
+            ),
+            0.0,
+        )
+    if "induced" in branches:
+        induced_m = (n_assoc == 2) & (n_self == 1)
+        phi = phi + jnp.where(
+            induced_m,
+            _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2,
+                               zeta3_m1, assoc_q_form),
+            0.0,
+        )
     return phi
+
+
+_ALL_BRANCHES = frozenset({"dipole", "self", "cross", "induced"})
+
+
+def static_branches(parameters):
+    """Reachable phi branches for a CONCRETE parameter batch, or ``None``.
+
+    ``parameters`` is the (B, n, 8) array-like; returns a frozenset for
+    :func:`phi_mix`'s ``branches`` argument when the batch is concrete
+    (inspectable at trace time), else ``None`` (trace everything).  The
+    decision is per-batch: a branch is included if ANY row can reach it,
+    so masked per-row dispatch inside phi stays correct.
+    """
+    try:
+        arr = np.asarray(parameters, dtype=np.float64)
+    except (jax.errors.TracerArrayConversionError, TypeError):
+        return None
+    mu, na, nb = arr[..., 3], arr[..., 6], arr[..., 7]
+    out = set()
+    if np.any(mu != 0.0):
+        out.add("dipole")
+    n_assoc = np.count_nonzero(na + nb, axis=-1)
+    n_self = np.count_nonzero(na * nb, axis=-1)
+    if np.any((n_assoc == 1) & (n_self == 1)):
+        out.add("self")
+    if np.any((n_assoc == 2) & (n_self == 2)):
+        out.add("cross")
+    if np.any((n_assoc == 2) & (n_self == 1)):
+        out.add("induced")
+    return frozenset(out)
 
 
 def _q_f1(x):
@@ -329,24 +377,30 @@ def _split_kij(kij, batch_shape):
     return kij[..., 0], kij[..., 1]
 
 
-def helmholtz_energy_density(parameters, kij, temperature, density):
+def helmholtz_energy_density(parameters, kij, temperature, density,
+                             branches=None):
     """Batched phi (reference ``PcSaftMix.helmholtz_energy_density``)."""
     p = MixParams.from_array(parameters)
     k, e = _split_kij(kij, jnp.shape(parameters)[0])
-    return jax.vmap(phi_mix)(
+    br = branches if branches is not None else static_branches(parameters)
+    return jax.vmap(lambda pi, ki, ei, t, r: phi_mix(pi, ki, ei, t, r,
+                                                     branches=br))(
         p, k, e,
         jnp.asarray(temperature, dtype=jnp.float64),
         jnp.asarray(density, dtype=jnp.float64),
     )
 
 
-def derivatives(parameters, kij, temperature, density):
+def derivatives(parameters, kij, temperature, density, branches=None):
     """Batched (A, p~, mu_i, v_i) (reference feos_torch/pcsaft_mix.py:395-420)."""
     p = MixParams.from_array(parameters)
     k, e = _split_kij(kij, jnp.shape(parameters)[0])
+    br = branches if branches is not None else static_branches(parameters)
 
     def per_item(pi, ki, ei, t, rho):
-        return pressure_set(lambda r: phi_mix(pi, ki, ei, t, r), rho)
+        return pressure_set(
+            lambda r: phi_mix(pi, ki, ei, t, r, branches=br), rho
+        )
 
     return jax.vmap(per_item)(
         p, k, e,
@@ -355,7 +409,8 @@ def derivatives(parameters, kij, temperature, density):
     )
 
 
-def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubble):
+def _incipient_property(parameters, kij, temperature, molefracs, pressure,
+                        bubble, branches=None):
     """Shared bubble/dew implementation with stationary re-attachment.
 
     Solve (stop-gradient) for the coexisting partial densities, then
@@ -376,7 +431,7 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
     perturbation, while removing all second-order f64 graphs from the
     program (the dominant TPU compile cost; see solvers/vle.py).
     """
-    from ..solvers.vle import _states_eos, mix_vle
+    from ..solvers.vle import _states_eos, mix_vle, solve_with_identity_gradients
 
     p = MixParams.from_array(parameters)
     kv, ev = _split_kij(kij, jnp.shape(parameters)[0])
@@ -386,6 +441,10 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
     f32 = jnp.float32
+    # static branch specialization (see phi_mix): the regime set of a
+    # concrete batch removes dead fixed-point subgraphs from every phi
+    # instantiation in the solver
+    br = branches if branches is not None else static_branches(parameters)
 
     def solve_item(pi, ki, ei, t, x1, pr):
         z = jnp.stack([x1, 1.0 - x1])
@@ -401,25 +460,19 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
         # derivatives), and the Q form's second derivatives miss the
         # dX/drho terms — at strong association that stalls Newton.
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, t, r, assoc_q_form=True),
+            lambda r: phi_mix(pi, ki, ei, t, r, assoc_q_form=True,
+                              branches=br),
             z, pr, md3,
             incipient_is_vapor=bubble,
-            phi_fn32=lambda r: phi_mix(pi32, ki32, ei32, t32, r),
+            phi_fn32=lambda r: phi_mix(pi32, ki32, ei32, t32, r, branches=br),
         )
 
-    stop = jax.lax.stop_gradient
-    rho_inc, rho_bulk, ok, pt_inc = jax.vmap(solve_item)(
-        jax.tree_util.tree_map(stop, p), stop(kv), stop(ev),
-        stop(temperature), stop(molefracs), stop(p_red),
-    )
-    # sanitize failed lanes before re-attachment: NaN/0 densities would make
-    # the attach derivatives NaN, which no downstream masking can repair
-    rho_inc = jnp.where(ok[:, None], stop(rho_inc), 1e-5)
-    rho_bulk = jnp.where(ok[:, None], stop(rho_bulk), 1e-3)
-    pt_inc = jnp.where(ok, stop(pt_inc), 1.0)
+    def solve_batch(diff_args):
+        pd, kvd, evd, td = diff_args
+        return jax.vmap(solve_item)(pd, kvd, evd, td, molefracs, p_red)
 
     def attach(pi, ki, ei, t, r_inc, r_bulk):
-        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
+        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r, branches=br)
         # first-order f64: p~_bulk and mu~_bulk
         p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
         p_b = p_b[0]
@@ -429,7 +482,7 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
         pi32 = MixParams(*(v.astype(f32) for v in pi))
         v_b32 = pressure_set(
             lambda r: phi_mix(pi32, ki.astype(f32), ei.astype(f32),
-                              t.astype(f32), r),
+                              t.astype(f32), r, branches=br),
             r_bulk.astype(f32),
         )[3]
         v_b = v_b32.astype(jnp.float64)
@@ -440,14 +493,22 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure, bubbl
         g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
         return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
-    p_red_ident = jax.vmap(attach)(p, kv, ev, temperature, rho_inc, rho_bulk)
-    # value from the solver, gradient from the stationary identity
-    p_red_out = pt_inc + (p_red_ident - stop(p_red_ident))
-    pressure_out = p_red_out * temperature * REDUCED_TO_PA_PER_KT
+    def ident_batch(diff_args, rho_inc, rho_bulk):
+        pd, kvd, evd, td = diff_args
+        return jax.vmap(attach)(pd, kvd, evd, td, rho_inc, rho_bulk)
+
+    # value from the solver's carried state, derivatives from the
+    # stationary identity — the identity graph is traced only under AD
+    # (jax.custom_jvp; see solve_with_identity_gradients)
+    pt_eq, ok, _, _ = solve_with_identity_gradients(
+        solve_batch, ident_batch, (p, kv, ev, temperature)
+    )
+    pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
     return jnp.where(ok, pressure_out, jnp.nan), ~ok
 
 
-def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure):
+def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
+                 branches=None):
     """Batched bubble-point pressure (Pa) with parameter gradients.
 
     Replaces reference ``PcSaftMix.bubble_point``
@@ -455,14 +516,17 @@ def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure):
     Returns ``(p, nans)`` in the reference's order.
     """
     return _incipient_property(
-        parameters, kij, temperature, liquid_molefracs, pressure, bubble=True
+        parameters, kij, temperature, liquid_molefracs, pressure,
+        bubble=True, branches=branches,
     )
 
 
-def dew_point(parameters, kij, temperature, vapor_molefracs, pressure):
+def dew_point(parameters, kij, temperature, vapor_molefracs, pressure,
+              branches=None):
     """Batched dew-point pressure (Pa); reference feos_torch/pcsaft_mix.py:446-468."""
     return _incipient_property(
-        parameters, kij, temperature, vapor_molefracs, pressure, bubble=False
+        parameters, kij, temperature, vapor_molefracs, pressure,
+        bubble=False, branches=branches,
     )
 
 
@@ -479,21 +543,28 @@ class PcSaftMix:
         if self.parameters.shape[1] != 2 and kij is not None:
             raise ValueError("kij can only be used for binary mixtures!")
         self.kij = None if kij is None else jnp.asarray(kij, dtype=jnp.float64)
+        # static phi-branch specialization from the concrete batch; the
+        # closed-over frozenset survives a later jit of the bound methods
+        self.branches = static_branches(parameters)
 
     def helmholtz_energy_density(self, temperature, density):
         return helmholtz_energy_density(
-            self.parameters, self.kij, temperature, density
+            self.parameters, self.kij, temperature, density,
+            branches=self.branches,
         )
 
     def derivatives(self, temperature, density):
-        return derivatives(self.parameters, self.kij, temperature, density)
+        return derivatives(self.parameters, self.kij, temperature, density,
+                           branches=self.branches)
 
     def bubble_point(self, temperature, liquid_molefracs, pressure):
         return bubble_point(
-            self.parameters, self.kij, temperature, liquid_molefracs, pressure
+            self.parameters, self.kij, temperature, liquid_molefracs, pressure,
+            branches=self.branches,
         )
 
     def dew_point(self, temperature, vapor_molefracs, pressure):
         return dew_point(
-            self.parameters, self.kij, temperature, vapor_molefracs, pressure
+            self.parameters, self.kij, temperature, vapor_molefracs, pressure,
+            branches=self.branches,
         )

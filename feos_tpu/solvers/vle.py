@@ -900,3 +900,48 @@ def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
         & (pt_eq > 0.0)
     )
     return rho_inc, rho_bulk, ok, pt_eq
+
+
+def solve_with_identity_gradients(solve_fn, ident_fn, diff_args):
+    """Couple a gradient-free batched VLE solve to a stationary identity.
+
+    ``solve_fn(diff_args) -> (rho_inc (B, n), rho_bulk (B, n), ok (B,),
+    pt_eq (B,))`` runs the (non-differentiable) solver; ``ident_fn(
+    diff_args, rho_inc, rho_bulk) -> (B,)`` evaluates the stationary
+    re-attachment identity at FIXED densities.  Returns ``(pt_eq, ok,
+    rho_inc, rho_bulk)`` where ``pt_eq``'s VALUE comes from the solver's
+    carried state and its DERIVATIVES from the identity.
+
+    Implemented as ``jax.custom_jvp`` so the identity graph is traced
+    ONLY under AD: forward-only property evaluation (and every batched
+    FD solve in the tests) never pays the identity's second-order
+    machinery — ~30% of the lowered solver program.  Reverse-mode works
+    through linearization of the (linear-in-tangents) rule; failed lanes
+    are sanitized before the identity so they produce finite (zero-
+    contribution) tangents.
+    """
+
+    @jax.custom_jvp
+    def inner(diff_args):
+        rho_inc, rho_bulk, ok, pt_eq = solve_fn(diff_args)
+        # sanitize failed lanes: NaN/0 densities would make the identity
+        # tangents NaN, which no downstream masking can repair
+        rho_inc = jnp.where(ok[:, None], rho_inc, 1e-5)
+        rho_bulk = jnp.where(ok[:, None], rho_bulk, 1e-3)
+        pt_eq = jnp.where(ok, pt_eq, 1.0)
+        return pt_eq, ok, rho_inc, rho_bulk
+
+    @inner.defjvp
+    def inner_jvp(primals, tangents):
+        (da,), (dda,) = primals, tangents
+        pt_eq, ok, rho_inc, rho_bulk = inner(da)
+        _, dp_ident = jax.jvp(
+            lambda d: ident_fn(d, rho_inc, rho_bulk), (da,), (dda,)
+        )
+        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return (
+            (pt_eq, ok, rho_inc, rho_bulk),
+            (dp_ident, f0(ok), jnp.zeros_like(rho_inc), jnp.zeros_like(rho_bulk)),
+        )
+
+    return inner(diff_args)

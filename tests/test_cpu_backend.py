@@ -96,7 +96,8 @@ def test_mix_bubble_dew_match_jax_solver():
         params, kij, T, x, p0, bubble=True
     )
     assert ok_cpp.all()
-    pb, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    eos_jax = M.PcSaftMix(params, kij)
+    pb, nans = jax.jit(eos_jax.bubble_point)(T, x, p0)
     assert not np.any(nans)
     np.testing.assert_allclose(np.asarray(pb), p_cpp, rtol=1e-7)
 
@@ -104,7 +105,7 @@ def test_mix_bubble_dew_match_jax_solver():
         params, kij, T, x, p0, bubble=False
     )
     assert ok_cpp.all()
-    pd, nans = jax.jit(M.dew_point)(params, kij, T, x, p0)
+    pd, nans = jax.jit(eos_jax.dew_point)(T, x, p0)
     assert not np.any(nans)
     np.testing.assert_allclose(np.asarray(pd), p_cpp, rtol=1e-7)
     # dew pressure below bubble pressure for the same feed
@@ -124,12 +125,13 @@ def test_mix_bubble_nonassoc_kij_match_jax_solver():
     T = np.array([140.0, 150.0, 160.0])
     x = np.full(B, 0.5)
     p0 = np.full(B, 1e5)
-    for bubble, fn in ((True, M.bubble_point), (False, M.dew_point)):
+    eos_jax = M.PcSaftMix(params, kij)
+    for bubble, fn in ((True, eos_jax.bubble_point), (False, eos_jax.dew_point)):
         rho_cpp, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
             params, kij, T, x, p0, bubble=bubble
         )
         assert ok_cpp.all()
-        p_jax, nans = jax.jit(fn)(params, kij, T, x, p0)
+        p_jax, nans = jax.jit(fn)(T, x, p0)
         assert not np.any(nans)
         np.testing.assert_allclose(np.asarray(p_jax), p_cpp, rtol=1e-7)
 

@@ -20,6 +20,15 @@ from feos_tpu.models.pcsaft_pure import vapor_pressure
 GOLDEN = Path(__file__).parent / "golden"
 
 
+def _spec(fn, params):
+    """Jit ``fn`` with the static phi-branch set of the concrete batch
+    (the facade calling convention; keeps solver graphs 2-4x smaller than
+    the generic all-branches trace)."""
+    from functools import partial
+
+    return jax.jit(partial(fn, branches=M.static_branches(params)))
+
+
 def _golden():
     return json.loads((GOLDEN / "mix_helmholtz.json").read_text())
 
@@ -67,13 +76,15 @@ def test_bubble_point_gradient_fd():
     T = jnp.full((2,), 150.0)
     x = jnp.full((2,), 0.5)
     p0 = jnp.full((2,), 1e5)
-    p, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    p, nans = _spec(M.bubble_point, params)(params, kij, T, x, p0)
     assert not np.any(nans)
     fd = (p[1] - p[0]) / h
+    br = M.static_branches(params)
 
     def f(k):
         pp, _ = M.bubble_point(
-            params[:1], jnp.array([[k, 1000.0]]), T[:1], x[:1], p0[:1]
+            params[:1], jnp.array([[k, 1000.0]]), T[:1], x[:1], p0[:1],
+            branches=br,
         )
         return pp[0]
 
@@ -92,13 +103,15 @@ def test_bubble_point_epsilon_k_aibj_gradient_fd():
     T = jnp.full((2,), 150.0)
     x = jnp.full((2,), 0.5)
     p0 = jnp.full((2,), 1e5)
-    p, nans = jax.jit(M.bubble_point)(params, kij, T, x, p0)
+    p, nans = _spec(M.bubble_point, params)(params, kij, T, x, p0)
     assert not np.any(nans)
     fd = (p[1] - p[0]) / h
+    br = M.static_branches(params)
 
     def f(e):
         pp, _ = M.bubble_point(
-            params[:1], jnp.array([[-0.15, e]]), T[:1], x[:1], p0[:1]
+            params[:1], jnp.array([[-0.15, e]]), T[:1], x[:1], p0[:1],
+            branches=br,
         )
         return pp[0]
 
@@ -117,9 +130,12 @@ def test_bubble_point_component_param_gradients_fd():
     x = jnp.full((1,), 0.5)
     p0 = jnp.full((1,), 1e5)
 
+    br = M.static_branches([BUBBLE_PARAMS])
+
     def f(params0):
         pp, _ = M.bubble_point(
-            jnp.stack([params0, jnp.asarray(base[1])])[None], kij0, T, x, p0
+            jnp.stack([params0, jnp.asarray(base[1])])[None], kij0, T, x, p0,
+            branches=br,
         )
         return pp[0]
 
@@ -137,7 +153,7 @@ def test_bubble_point_component_param_gradients_fd():
             cols.append((i, sgn))
     batch = np.asarray(batch)
     n = batch.shape[0]
-    p_all, nans = jax.jit(M.bubble_point)(
+    p_all, nans = _spec(M.bubble_point, batch)(
         batch, np.tile(kij0, (n, 1)), jnp.full((n,), 150.0),
         jnp.full((n,), 0.5), jnp.full((n,), 1e5),
     )
@@ -160,12 +176,14 @@ def test_dew_point_gradient_fd():
     T = jnp.full((2,), 150.0)
     y = jnp.full((2,), 0.5)
     p0 = jnp.full((2,), 1e5)
-    p, nans = jax.jit(M.dew_point)(params, kij, T, y, p0)
+    p, nans = _spec(M.dew_point, params)(params, kij, T, y, p0)
     assert not np.any(nans)
     fd = (p[1] - p[0]) / h
+    br = M.static_branches(params)
 
     def f(k):
-        pp, _ = M.dew_point(params[:1], jnp.array([[k, 0.0]]), T[:1], y[:1], p0[:1])
+        pp, _ = M.dew_point(params[:1], jnp.array([[k, 0.0]]), T[:1], y[:1],
+                            p0[:1], branches=br)
         return pp[0]
 
     grad = jax.jit(jax.grad(f))(jnp.asarray(-0.15))
@@ -221,9 +239,10 @@ def test_dew_point_robust_to_high_p0():
     T = jnp.full((2,), 300.0)
     y = jnp.full((2,), 0.4)
     p0 = jnp.full((2,), 1e5)
-    pd, nd = jax.jit(M.dew_point)(params, kij, T, y, p0)
+    eos = M.PcSaftMix(params, kij)
+    pd, nd = jax.jit(eos.dew_point)(T, y, p0)
     assert not np.any(nd)
-    pb, nb = jax.jit(M.bubble_point)(params, kij, T, y, p0)
+    pb, nb = jax.jit(eos.bubble_point)(T, y, p0)
     assert not np.any(nb)
     # dew well below bubble for this wide-boiling pair
     assert np.all(np.asarray(pd) < 0.5 * np.asarray(pb))

@@ -11,18 +11,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from feos_tpu.models.pcsaft_mix import MixParams, phi_mix
+from feos_tpu.models.pcsaft_mix import MixParams, phi_mix, static_branches
 from feos_tpu.solvers.vle import _states_eos, mix_vle
 
 
 def _solve(parr, kij, eps, T, x1, p0_red, bubble):
     p = MixParams.from_array(parr)
+    br = static_branches(parr)
 
     def item(pi, ki, ei, t, x, pr):
         z = jnp.stack([x, 1.0 - x])
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
         md3 = pi.m * d**3
-        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r)
+        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r, branches=br)
         rho_inc, rho_bulk, ok, _ = mix_vle(phi_fn, z, pr, md3, bubble)
         R = jnp.stack([rho_inc, rho_bulk])
         pt, g = _states_eos(phi_fn, R)
