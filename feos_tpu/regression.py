@@ -126,3 +126,104 @@ def fit_pure(
         params, opt_state, loss = step(params, opt_state)
         losses.append(loss)
     return FitResult(params * scale, jnp.stack(losses))
+
+
+def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
+                p_bubble, p0=None, branches=None):
+    """Relative-SSE loss of bubble pressures for one binary pair.
+
+    ``kij_pair`` is the (2,) vector ``[k_ij, epsilon_k_AiBj]`` shared by
+    every data row; ``parameters`` the fixed (2, 8) component parameters;
+    the data are ``(temperature, liquid_molefracs, p_bubble)`` rows.  The
+    experimental pressures double as the solver's initial estimates
+    (``p0``) unless given — the reference forwards user estimates the
+    same way (src/pcsaft.rs:170).
+    """
+    from .models.pcsaft_mix import bubble_point
+
+    B = temperature.shape[0]
+    parameters = jnp.asarray(parameters, dtype=jnp.float64)
+    params_b = jnp.tile(parameters[None], (B, 1, 1))
+    kij_b = jnp.tile(kij_pair[None, :], (B, 1))
+    p0 = p_bubble if p0 is None else p0
+    p, nans = bubble_point(
+        params_b, kij_b, temperature, liquid_molefracs, p0, branches=branches
+    )
+    return masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+
+
+def fit_binary(
+    parameters,
+    temperature,
+    liquid_molefracs,
+    p_bubble,
+    kij0=0.0,
+    epsilon_k_aibj0=None,
+    steps: int = 100,
+    optimizer=None,
+    mesh=None,
+):
+    """Fit the binary interaction parameters (k_ij and optionally the
+    epsilon_k_AiBj cross-association override) to bubble-point data.
+
+    This is the reference's companion-paper workload (README.md:42-56,
+    "large-scale parametrization of binary mixtures"): component
+    parameters stay fixed, the interaction parameters are regressed
+    against experimental (T, x, p_bubble) rows by Adam with gradients
+    through the stationary bubble-point identity.  With ``mesh`` the data
+    rows shard over a 1-D device mesh exactly as in :func:`fit_pure`.
+
+    ``epsilon_k_aibj0 = None`` keeps the cross-association energy at the
+    combining-rule value (the reference's eps = 0 convention,
+    src/pcsaft.rs:163) and fits k_ij alone.
+    """
+    from .models.pcsaft_mix import static_branches
+
+    if optimizer is None:
+        optimizer = optax.adam(5e-3)
+    optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=20)
+    parameters = jnp.asarray(parameters, dtype=jnp.float64)
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    liquid_molefracs = jnp.asarray(liquid_molefracs, dtype=jnp.float64)
+    p_bubble = jnp.asarray(p_bubble, dtype=jnp.float64)
+    br = static_branches(parameters[None])
+
+    fit_eps = epsilon_k_aibj0 is not None
+    eps0 = float(epsilon_k_aibj0) if fit_eps else 0.0
+    eps_scale = abs(eps0) if fit_eps and eps0 != 0.0 else 1.0
+    theta = jnp.array([float(kij0), eps0 / eps_scale])
+
+    def loss_fn(theta):
+        eps = theta[1] * eps_scale if fit_eps else 0.0
+        kij_pair = jnp.stack([theta[0], jnp.asarray(eps, dtype=jnp.float64)])
+        return binary_loss(
+            kij_pair, parameters, temperature, liquid_molefracs, p_bubble,
+            branches=br,
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("batch"))
+        repl = NamedSharding(mesh, P())
+        temperature = jax.device_put(temperature, batch_sh)
+        liquid_molefracs = jax.device_put(liquid_molefracs, batch_sh)
+        p_bubble = jax.device_put(p_bubble, batch_sh)
+        theta = jax.device_put(theta, repl)
+
+    opt_state = optimizer.init(theta)
+
+    @jax.jit
+    def step(theta, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, loss
+
+    losses = []
+    for _ in range(steps):
+        theta, opt_state, loss = step(theta, opt_state)
+        losses.append(loss)
+    kij_fit = theta[0]
+    eps_fit = theta[1] * eps_scale if fit_eps else jnp.asarray(0.0)
+    return FitResult(jnp.stack([kij_fit, eps_fit]), jnp.stack(losses))

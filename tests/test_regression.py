@@ -1,0 +1,37 @@
+"""End-to-end parameter-regression workflows (the library's purpose).
+
+The reference leaves training loops to the user (torch.optim over the
+differentiable properties, README.md:13-29); these tests pin the
+first-class fitting loops: synthetic data generated at known parameters
+must be recovered by gradient descent through the solvers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feos_tpu.models.pcsaft_mix import bubble_point, static_branches
+from feos_tpu.regression import fit_binary
+
+
+def test_fit_binary_recovers_kij():
+    """Bubble-point data generated at kij = -0.1 must be recovered from a
+    kij = 0 start (the companion-paper workload: binary parametrization
+    by gradients through the stationary bubble-point identity)."""
+    comp = np.array([[1, 3.5, 150, 0, 0, 0, 0, 0], [1, 3.5, 200, 0, 0, 0, 0, 0]])
+    kij_true = -0.1
+    B = 8
+    T = np.linspace(140.0, 160.0, B)
+    x = np.linspace(0.2, 0.8, B)
+    br = static_branches(comp[None])
+    p_data, nans = jax.jit(lambda *a: bubble_point(*a, branches=br))(
+        np.tile(comp, (B, 1, 1)), np.tile([kij_true, 0.0], (B, 1)),
+        T, x, np.full(B, 1e5),
+    )
+    assert not np.asarray(nans).any()
+
+    res = fit_binary(comp, T, x, np.asarray(p_data), kij0=0.0, steps=80)
+    assert abs(float(res.parameters[0]) - kij_true) < 5e-3
+    assert float(res.loss_history[-1]) < 1e-5
+    # loss decreased by orders of magnitude
+    assert float(res.loss_history[-1]) < 1e-4 * float(res.loss_history[0])
