@@ -158,7 +158,7 @@ def config4():
     T = jnp.linspace(140.0, 160.0, B)
     x = jnp.full((B,), 0.5)
     p0 = jnp.full((B,), 1e5)
-    dtb, (pb, nb) = _timeit(lambda: eos.bubble_point(T, x, p0), reps=3)
+    dtb, (pb, nb) = _timeit(jax.jit(eos.bubble_point), T, x, p0, reps=3)
     okb = int(jnp.sum(~nb))
     report("gc_bubble_points_per_sec", okb / dtb, "1/s", converged_frac=okb / B)
 
