@@ -123,3 +123,4 @@ def newton_reattach_1d(residual_fn, x_star, n_steps: int = 1):
         r, dr = jax.jvp(residual_fn, (x,), (jnp.ones_like(x),))
         x = x - r / dr
     return x
+
