@@ -440,14 +440,28 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     pressure = jnp.asarray(pressure, dtype=jnp.float64)
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
+    # compositions: the reference's binary convention passes x1 as a (B,)
+    # scalar per item (src/pcsaft.rs:155); an explicit (B, n) matrix
+    # generalizes to n-component mixtures (beyond the reference, which is
+    # binary-only in its native solvers).  kij stays binary-only.
+    n = jnp.shape(parameters)[1]
+    if molefracs.ndim == 1:
+        if n != 2:
+            raise ValueError(
+                "scalar molefracs are the binary x1 convention; pass a "
+                f"(B, {n}) composition matrix for {n}-component mixtures"
+            )
+        molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
+    if n != 2 and kij is not None:
+        raise ValueError("kij can only be used for binary mixtures!")
+
     f32 = jnp.float32
     # static branch specialization (see phi_mix): the regime set of a
     # concrete batch removes dead fixed-point subgraphs from every phi
     # instantiation in the solver
     br = branches if branches is not None else static_branches(parameters)
 
-    def solve_item(pi, ki, ei, t, x1, pr):
-        z = jnp.stack([x1, 1.0 - x1])
+    def solve_item(pi, ki, ei, t, z, pr):
         d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
         md3 = pi.m * d**3
         pi32 = MixParams(*(v.astype(f32) for v in pi))
@@ -514,6 +528,14 @@ def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
     Replaces reference ``PcSaftMix.bubble_point``
     (feos_torch/pcsaft_mix.py:422-444 + src/pcsaft.rs:150-181).
     Returns ``(p, nans)`` in the reference's order.
+
+    ``liquid_molefracs`` may be the reference's binary (B,) x1 convention
+    or an explicit (B, n) composition matrix — the latter solves
+    n-component bubble points (beyond the reference's binary-only native
+    solvers; kij stays binary-only).  ``branches`` is the optional static
+    phi-branch set (see :func:`static_branches`): pass it when jitting
+    this function directly, or use the :class:`PcSaftMix` facade which
+    derives it from the concrete parameters.
     """
     return _incipient_property(
         parameters, kij, temperature, liquid_molefracs, pressure,
