@@ -161,6 +161,9 @@ def config4():
     dtb, (pb, nb) = _timeit(jax.jit(eos.bubble_point), T, x, p0, reps=3)
     okb = int(jnp.sum(~nb))
     report("gc_bubble_points_per_sec", okb / dtb, "1/s", converged_frac=okb / B)
+    dtd, (pd, nd) = _timeit(jax.jit(eos.dew_point), T, x, p0, reps=3)
+    okd = int(jnp.sum(~nd))
+    report("gc_dew_points_per_sec", okd / dtd, "1/s", converged_frac=okd / B)
 
 
 def config5():

@@ -64,107 +64,78 @@ BUBBLE_PARAMS = [[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500
 DEW_PARAMS = [[1, 3.5, 150, 0, 0, 0, 0, 0], [1, 3.5, 200, 0, 0, 0, 0, 0]]
 
 
-def test_bubble_point_gradient_fd():
-    """kij gradient of the bubble pressure vs finite differences.
+def test_bubble_point_all_gradients_fd():
+    """kij, epsilon_k_AiBj, and all 8 component parameters of component 0
+    through bubble_point vs central finite differences.
 
-    Port of reference tests/test_pcsaft_mix.py:127-192 (same parameters and
-    FD scheme; the oracle pressure is replaced by equilibrium-condition
-    checks in test_solvers_mix.py since FeOs is unavailable)."""
-    h = 1e-8
-    params = np.array([BUBBLE_PARAMS] * 2, dtype=np.float64)
-    kij = np.array([[-0.15, 1000.0], [-0.15 + h, 1000.0]])
-    T = jnp.full((2,), 150.0)
-    x = jnp.full((2,), 0.5)
-    p0 = jnp.full((2,), 1e5)
-    p, nans = _spec(M.bubble_point, params)(params, kij, T, x, p0)
-    assert not np.any(nans)
-    fd = (p[1] - p[0]) / h
-    br = M.static_branches(params)
-
-    def f(k):
-        pp, _ = M.bubble_point(
-            params[:1], jnp.array([[k, 1000.0]]), T[:1], x[:1], p0[:1],
-            branches=br,
-        )
-        return pp[0]
-
-    grad = jax.jit(jax.grad(f))(jnp.asarray(-0.15))
-    assert np.abs(grad - fd) < 1.0, f"ad={grad} fd={fd}"
-
-
-def test_bubble_point_epsilon_k_aibj_gradient_fd():
-    """epsilon_k_AiBj (cross-association energy override) gradient of the
-    bubble pressure vs finite differences — the second column of the
-    reference's differentiable kij tensor (reference
-    tests/test_pcsaft_mix.py:127-192)."""
-    h = 1e-4
-    params = np.array([BUBBLE_PARAMS] * 2, dtype=np.float64)
-    kij = np.array([[-0.15, 1000.0], [-0.15, 1000.0 + h]])
-    T = jnp.full((2,), 150.0)
-    x = jnp.full((2,), 0.5)
-    p0 = jnp.full((2,), 1e5)
-    p, nans = _spec(M.bubble_point, params)(params, kij, T, x, p0)
-    assert not np.any(nans)
-    fd = (p[1] - p[0]) / h
-    br = M.static_branches(params)
-
-    def f(e):
-        pp, _ = M.bubble_point(
-            params[:1], jnp.array([[-0.15, e]]), T[:1], x[:1], p0[:1],
-            branches=br,
-        )
-        return pp[0]
-
-    grad = jax.jit(jax.grad(f))(jnp.asarray(1000.0))
-    assert np.abs(grad - fd) < np.abs(fd) * 1e-3 + 1e-3, f"ad={grad} fd={fd}"
-
-
-def test_bubble_point_component_param_gradients_fd():
-    """All 8 PC-SAFT component parameters of component 0 through
-    bubble_point vs central finite differences (the reference FD-checks the
-    pure path over the first 6 parameters, tests/test_pcsaft_pure.py:91-161;
-    the mixture path adds the association-site and mixing machinery)."""
+    Port of reference tests/test_pcsaft_mix.py:127-192 (kij / eps_AiBj;
+    the oracle pressure is replaced by the in-repo C++ oracle and
+    equilibrium-condition checks) plus the component-parameter sweep (the
+    reference FD-checks the pure path, tests/test_pcsaft_pure.py:91-161).
+    All FD evaluations share ONE batched solve and all AD gradients share
+    ONE jitted value_and_grad graph — the solver compiles are the
+    dominant cost of this suite on XLA:CPU.
+    """
     base = np.array(BUBBLE_PARAMS, dtype=np.float64)
-    kij0 = np.array([[-0.15, 1000.0]])
-    T = jnp.full((1,), 150.0)
-    x = jnp.full((1,), 0.5)
-    p0 = jnp.full((1,), 1e5)
-
+    kij0, eps0 = -0.15, 1000.0
+    T1 = jnp.full((1,), 150.0)
+    x1 = jnp.full((1,), 0.5)
+    p01 = jnp.full((1,), 1e5)
     br = M.static_branches([BUBBLE_PARAMS])
 
-    def f(params0):
+    # one AD graph for every gradient: d p_bubble / d(params0, kij, eps)
+    def f(params0, k, e):
         pp, _ = M.bubble_point(
-            jnp.stack([params0, jnp.asarray(base[1])])[None], kij0, T, x, p0,
-            branches=br,
+            jnp.stack([params0, jnp.asarray(base[1])])[None],
+            jnp.stack([k, e])[None], T1, x1, p01, branches=br,
         )
         return pp[0]
 
-    grad = jax.jit(jax.grad(f))(jnp.asarray(base[0]))
-    assert np.all(np.isfinite(grad))
+    g_par, g_kij, g_eps = jax.jit(jax.grad(f, argnums=(0, 1, 2)))(
+        jnp.asarray(base[0]), jnp.asarray(kij0), jnp.asarray(eps0)
+    )
+    assert np.all(np.isfinite(np.asarray(g_par)))
 
-    # central FD on each parameter, one batched solve for efficiency
+    # one batched solve for every central FD column:
+    # rows 0..15 = +-h on the 8 component parameters, 16..17 = kij +-h,
+    # 18..19 = eps_AiBj +-h
     hs = np.maximum(np.abs(base[0]), 1.0) * 3e-7
-    batch, cols = [], []
+    h_kij, h_eps = 1e-8, 1e-4
+    batch, kij_rows = [], []
     for i in range(8):
         for sgn in (+1.0, -1.0):
             p_i = base.copy()
             p_i[0, i] += sgn * hs[i]
             batch.append(p_i)
-            cols.append((i, sgn))
+            kij_rows.append([kij0, eps0])
+    for sgn in (+1.0, -1.0):
+        batch.append(base.copy())
+        kij_rows.append([kij0 + sgn * h_kij, eps0])
+    for sgn in (+1.0, -1.0):
+        batch.append(base.copy())
+        kij_rows.append([kij0, eps0 + sgn * h_eps])
     batch = np.asarray(batch)
     n = batch.shape[0]
     p_all, nans = _spec(M.bubble_point, batch)(
-        batch, np.tile(kij0, (n, 1)), jnp.full((n,), 150.0),
+        batch, np.asarray(kij_rows), jnp.full((n,), 150.0),
         jnp.full((n,), 0.5), jnp.full((n,), 1e5),
     )
     assert not np.any(nans)
     p_all = np.asarray(p_all)
-    # rows are ordered (i, +), (i, -)
-    fd = np.array(
+
+    fd_par = np.array(
         [(p_all[2 * i] - p_all[2 * i + 1]) / (2 * hs[i]) for i in range(8)]
     )
-    scale = np.maximum(np.abs(fd), 1.0)
-    np.testing.assert_allclose(np.asarray(grad) / scale, fd / scale, atol=2e-4)
+    scale = np.maximum(np.abs(fd_par), 1.0)
+    np.testing.assert_allclose(np.asarray(g_par) / scale, fd_par / scale, atol=2e-4)
+
+    fd_kij = (p_all[16] - p_all[17]) / (2 * h_kij)
+    assert np.abs(g_kij - fd_kij) < 1.0, f"ad={g_kij} fd={fd_kij}"
+
+    fd_eps = (p_all[18] - p_all[19]) / (2 * h_eps)
+    assert np.abs(g_eps - fd_eps) < np.abs(fd_eps) * 1e-3 + 1e-3, (
+        f"ad={g_eps} fd={fd_eps}"
+    )
 
 
 def test_dew_point_gradient_fd():
