@@ -122,7 +122,68 @@ const double CDc[4][3] = {{-0.06467735252, -0.95208758351, -0.62609792333},
 struct MixPar {
     double m[2], sigma[2], eps_k[2], mu[2], kappa_ab[2], eps_k_ab[2], na[2], nb[2];
     double kij, eps_aibj;
+    D2v phi(double T, D2v rho0, D2v rho1) const;
+    // per-component m_c * d_c^3 (sets the eta = 0.5 liquid initialization)
+    void comp_md3(double T, double out[2]) const {
+        for (int i = 0; i < 2; ++i) {
+            double d = sigma[i] * (1.0 - 0.12 * std::exp(-3.0 * eps_k[i] / T));
+            out[i] = m[i] * d * d * d;
+        }
+    }
 };
+
+// shared dipolar Pade on component-level parameters (2 components);
+// mu2t[i] = mu_i^2 * MU2_FACTOR / (m_i T) scaled by sigma^3 eps conventions
+// of the caller (feos_torch/pcsaft_mix.py:156-208 semantics)
+D2v phi_dipole2(const double mu2t[2], const double mc[2], const double sig[2],
+                const double epsk[2], double T, const D2v rho[2],
+                const D2v etas[7]) {
+    D2v rho_t = rho[0] + rho[1];
+    D2v w[2] = {rho[0] / rho_t, rho[1] / rho_t};
+    D2v S2 = mk(0), S3 = mk(0);
+    for (int i = 0; i < 2; ++i)
+        for (int j = i; j < 2; ++j) {
+            double sij3 = std::pow(0.5 * (sig[i] + sig[j]), 3.0);
+            double mij = std::sqrt(mc[i] * mc[j]);
+            double mij1 = (mij - 1.0) / mij;
+            double mij2 = mij1 * (mij - 2.0) / mij;
+            double eps_ij_t = std::sqrt(epsk[i] * epsk[j]) / T;
+            D2v J2 = mk(0);
+            for (int q = 0; q < 5; ++q) {
+                double a = ADc[q][0] + mij1 * ADc[q][1] + mij2 * ADc[q][2];
+                double b = BDc[q][0] + mij1 * BDc[q][1] + mij2 * BDc[q][2];
+                J2 = J2 + (a + b * eps_ij_t) * etas[q];
+            }
+            double cc = (i == j) ? 1.0 : 2.0;
+            S2 = S2 - w[i] * w[j] * (mu2t[i] * mu2t[j] / sij3 * cc) * J2;
+            for (int k = j; k < 2; ++k) {
+                double sig_ij = 0.5 * (sig[i] + sig[j]);
+                double sig_ik = 0.5 * (sig[i] + sig[k]);
+                double sig_jk = 0.5 * (sig[j] + sig[k]);
+                double mijk = std::cbrt(mc[i] * mc[j] * mc[k]);
+                double mijk1 = (mijk - 1.0) / mijk;
+                double mijk2 = mijk1 * (mijk - 2.0) / mijk;
+                // multiplicity by number of distinct indices {1,2,3}->{1,3,6}
+                int nd = (i == j && j == k) ? 1 : ((i != j && j != k && i != k) ? 3 : 2);
+                double c3 = (nd == 1) ? 1.0 : (nd == 2 ? 3.0 : 6.0);
+                D2v J3 = mk(0);
+                for (int q = 0; q < 4; ++q)
+                    J3 = J3 + (CDc[q][0] + mijk1 * CDc[q][1] +
+                               mijk2 * CDc[q][2]) *
+                                  etas[q];
+                S3 = S3 - w[i] * w[j] * w[k] *
+                          (mu2t[i] * mu2t[j] * mu2t[k] /
+                           (sig_ij * sig_ik * sig_jk) * c3) *
+                          J3;
+            }
+        }
+    S2 = S2 * PI;
+    S3 = S3 * (4.0 / 3.0 * PI * PI);
+    D2v phi2 = rho_t * rho_t * S2;
+    D2v S2safe = (S2.re != 0.0) ? S2 : mk(1.0);
+    D2v ratio = rho_t * S3 / S2safe;
+    return phi2 / (1.0 - ratio);
+}
 
 // association strength Delta_AiBj (feos_torch/pcsaft_mix.py:500-522 semantics)
 inline D2v assoc_strength(const MixPar& p, int i, int j, double T,
@@ -220,50 +281,7 @@ D2v phi_mix(const MixPar& p, double T, D2v rho0, D2v rho1) {
             mu2t[i] = s3[i] * e[i] * mu2;  // mu2_scaled / T
             mc[i] = std::min(p.m[i], 2.0);
         }
-        D2v w[2] = {rho[0] / rho_t, rho[1] / rho_t};
-        D2v S2 = mk(0), S3 = mk(0);
-        for (int i = 0; i < 2; ++i)
-            for (int j = i; j < 2; ++j) {
-                double sij3 = std::pow(0.5 * (p.sigma[i] + p.sigma[j]), 3.0);
-                double mij = std::sqrt(mc[i] * mc[j]);
-                double mij1 = (mij - 1.0) / mij;
-                double mij2 = mij1 * (mij - 2.0) / mij;
-                double eps_ij_t = std::sqrt(p.eps_k[i] * p.eps_k[j]) / T;
-                D2v J2 = mk(0);
-                for (int q = 0; q < 5; ++q) {
-                    double a = ADc[q][0] + mij1 * ADc[q][1] + mij2 * ADc[q][2];
-                    double b = BDc[q][0] + mij1 * BDc[q][1] + mij2 * BDc[q][2];
-                    J2 = J2 + (a + b * eps_ij_t) * etas[q];
-                }
-                double cc = (i == j) ? 1.0 : 2.0;
-                S2 = S2 - w[i] * w[j] * (mu2t[i] * mu2t[j] / sij3 * cc) * J2;
-                for (int k = j; k < 2; ++k) {
-                    double sig_ij = 0.5 * (p.sigma[i] + p.sigma[j]);
-                    double sig_ik = 0.5 * (p.sigma[i] + p.sigma[k]);
-                    double sig_jk = 0.5 * (p.sigma[j] + p.sigma[k]);
-                    double mijk = std::cbrt(mc[i] * mc[j] * mc[k]);
-                    double mijk1 = (mijk - 1.0) / mijk;
-                    double mijk2 = mijk1 * (mijk - 2.0) / mijk;
-                    // multiplicity by number of distinct indices {1,2,3}->{1,3,6}
-                    int nd = (i == j && j == k) ? 1 : ((i != j && j != k && i != k) ? 3 : 2);
-                    double c3 = (nd == 1) ? 1.0 : (nd == 2 ? 3.0 : 6.0);
-                    D2v J3 = mk(0);
-                    for (int q = 0; q < 4; ++q)
-                        J3 = J3 + (CDc[q][0] + mijk1 * CDc[q][1] +
-                                   mijk2 * CDc[q][2]) *
-                                      etas[q];
-                    S3 = S3 - w[i] * w[j] * w[k] *
-                              (mu2t[i] * mu2t[j] * mu2t[k] /
-                               (sig_ij * sig_ik * sig_jk) * c3) *
-                              J3;
-                }
-            }
-        S2 = S2 * PI;
-        S3 = S3 * (4.0 / 3.0 * PI * PI);
-        D2v phi2 = rho_t * rho_t * S2;
-        D2v S2safe = (S2.re != 0.0) ? S2 : mk(1.0);
-        D2v ratio = rho_t * S3 / S2safe;
-        phi = phi + phi2 / (1.0 - ratio);
+        phi = phi + phi_dipole2(mu2t, mc, p.sigma, p.eps_k, T, rho, etas);
     }
 
     // association regimes (feos_torch/pcsaft_mix.py:117-152 dispatch)
@@ -355,6 +373,10 @@ D2v phi_mix(const MixPar& p, double T, D2v rho0, D2v rho1) {
     return phi;
 }
 
+D2v MixPar::phi(double T, D2v rho0, D2v rho1) const {
+    return phi_mix(*this, T, rho0, rho1);
+}
+
 // (p~, mu_i, dp/drho_j, dmu_i/drho_j) at a state
 struct MixEos {
     double pt;
@@ -364,8 +386,9 @@ struct MixEos {
     double phi;
 };
 
-MixEos eos_mix(const MixPar& p, double T, double r0, double r1) {
-    D2v phi = phi_mix(p, T, var0(r0), var1(r1));
+template <class Par>
+MixEos eos_mix(const Par& p, double T, double r0, double r1) {
+    D2v phi = p.phi(T, var0(r0), var1(r1));
     MixEos o;
     o.phi = phi.re;
     double g[2] = {phi.g0, phi.g1};
@@ -382,7 +405,8 @@ MixEos eos_mix(const MixPar& p, double T, double r0, double r1) {
 }
 
 // NPT Newton on ln rho_t at fixed composition z; sign=+1 liquid, -1 vapor
-bool npt_mix(const MixPar& p, double T, const double z[2], double pt, double rho0,
+template <class Par>
+bool npt_mix(const Par& p, double T, const double z[2], double pt, double rho0,
              double sign, double lr_cap, double* rho_out) {
     double lr = std::log(rho0);
     for (int it = 0; it < 60; ++it) {
@@ -415,13 +439,12 @@ bool npt_mix(const MixPar& p, double T, const double z[2], double pt, double rho
 // phase has mole fractions z.  Unknowns: incipient partial densities and
 // bulk total density, in log space (same formulation as
 // feos_tpu/solvers/vle.py:mix_vle, re-derived independently in C++).
-bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
+template <class Par>
+bool mix_vle_cpp(const Par& p, double T, const double z[2], double p0,
                  bool incipient_is_vapor, double rho_inc[2], double rho_bulk[2],
                  double* pt_out) {
-    double d[2];
-    for (int i = 0; i < 2; ++i)
-        d[i] = p.sigma[i] * (1.0 - 0.12 * std::exp(-3.0 * p.eps_k[i] / T));
-    double md3[2] = {p.m[0] * d[0] * d[0] * d[0], p.m[1] * d[1] * d[1] * d[1]};
+    double md3[2];
+    p.comp_md3(T, md3);
     double z_md3 = z[0] * md3[0] + z[1] * md3[1];
     double eta_factor = PI / 6.0 * z_md3;
     double lr_cap = std::log(0.74 / eta_factor);
@@ -591,6 +614,252 @@ bool mix_vle_cpp(const MixPar& p, double T, const double z[2], double p0,
            !trivial && ordered && pt_eq > 0.0;
 }
 
+// ---------------------------------------------------------------------------
+// Heterosegmented gc-PC-SAFT (binary): segment-resolved hard chain and
+// dispersion, component-level dipole/association on the gc mixing-rule
+// aggregates.  Mirrors the semantics of feos_torch/gc_pcsaft.py:116-253 /
+// feos_tpu phi_gc, re-derived here with explicit (S, S) loops and dual
+// arithmetic — an independent oracle for the JAX gc VLE path (which
+// collapses the segment contraction into precomputed bases).
+// ---------------------------------------------------------------------------
+
+constexpr int GC_MAX_S = 64;
+
+struct GcPar {
+    int S;
+    // segment-level (shared): sigma/eps_k (S), kab (S, S)
+    const double* sigma;
+    const double* eps_k;
+    const double* kab;
+    // per item: m (2, S) = counts * m_seg; bonded pairs bond_a/bond_b (P)
+    // with counts bonds_p (2, P); phi dispersion correction (2)
+    const double* m;
+    int P;
+    const int32_t* bond_a;
+    const int32_t* bond_b;
+    const double* bonds_p;
+    const double* phi_corr;
+    // component-level aggregates (2 each): dipole mixing and association
+    const double* m_mix;
+    const double* sigma_mix;
+    const double* eps_mix;
+    const double* mu2;  // pre-scaled: (counts . mu^2)/m_mix * MU2_FACTOR
+    const double* sigma_assoc;
+    const double* eps_assoc;
+    const double* kappa_ab;
+    const double* eps_k_ab;
+    const double* na;
+    const double* nb;
+
+    void seg_d(double T, double* d) const {
+        for (int s = 0; s < S; ++s)
+            d[s] = sigma[s] * (1.0 - 0.12 * std::exp(-3.0 * eps_k[s] / T));
+    }
+
+    void comp_md3(double T, double out[2]) const {
+        double d[GC_MAX_S];
+        seg_d(T, d);
+        for (int c = 0; c < 2; ++c) {
+            out[c] = 0.0;
+            for (int s = 0; s < S; ++s)
+                out[c] += m[c * S + s] * d[s] * d[s] * d[s];
+        }
+    }
+
+    // gc association strength Delta_ij on the component aggregates
+    // (feos_torch/gc_pcsaft.py:549-564): the segment diameter is recomputed
+    // from the associating segment's own sigma/eps_k
+    D2v assoc_strength(int i, int j, double T, D2v zeta2, D2v zeta3_m1) const {
+        double di = sigma_assoc[i] *
+                    (1.0 - 0.12 * std::exp(-3.0 * eps_assoc[i] / T));
+        double dj = sigma_assoc[j] *
+                    (1.0 - 0.12 * std::exp(-3.0 * eps_assoc[j] / T));
+        D2v k = (di * dj / (di + dj)) * zeta2 * zeta3_m1;
+        double s3k = std::pow(sigma_assoc[i] * sigma_assoc[j], 1.5) *
+                     std::sqrt(kappa_ab[i] * kappa_ab[j]);
+        double eps = 0.5 * (eps_k_ab[i] + eps_k_ab[j]);
+        return zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * s3k *
+               (std::exp(eps / T) - 1.0);
+    }
+
+    D2v phi(double T, D2v rho0, D2v rho1) const {
+        D2v rho[2] = {rho0, rho1};
+        double d[GC_MAX_S];
+        seg_d(T, d);
+
+        // zeta moments from per-component diameter moments
+        double md0[2] = {0, 0}, md1[2] = {0, 0}, md2[2] = {0, 0}, md3[2] = {0, 0};
+        for (int c = 0; c < 2; ++c)
+            for (int s = 0; s < S; ++s) {
+                double ms = m[c * S + s];
+                md0[c] += ms;
+                md1[c] += ms * d[s];
+                md2[c] += ms * d[s] * d[s];
+                md3[c] += ms * d[s] * d[s] * d[s];
+            }
+        D2v zeta0 = (rho0 * md0[0] + rho1 * md0[1]) * (PI / 6.0);
+        D2v zeta1 = (rho0 * md1[0] + rho1 * md1[1]) * (PI / 6.0);
+        D2v zeta2 = (rho0 * md2[0] + rho1 * md2[1]) * (PI / 6.0);
+        D2v zeta3 = (rho0 * md3[0] + rho1 * md3[1]) * (PI / 6.0);
+        D2v zeta23 = zeta2 / zeta3;
+        D2v z3_2 = zeta3 * zeta3;
+        D2v z3_3 = z3_2 * zeta3;
+        D2v zeta3_m1 = 1.0 / (1.0 - zeta3);
+        D2v zeta3_m2 = zeta3_m1 * zeta3_m1;
+        D2v etas[7] = {mk(1.0), zeta3, z3_2, z3_3, z3_2 * z3_2, z3_2 * z3_3,
+                       z3_3 * z3_3};
+
+        // hard sphere (Boublik-Mansoori)
+        D2v hs =
+            (6.0 / PI) * (zeta1 * zeta2 * zeta3_m1 * 3.0 +
+                          zeta2 * zeta2 * zeta3_m2 * zeta23 +
+                          (zeta2 * zeta23 * zeta23 - zeta0) * dlog(1.0 - zeta3));
+
+        // hard chain over bonded segment pairs
+        D2v c = zeta2 * zeta3_m2;
+        D2v hc = mk(0);
+        for (int pI = 0; pI < P; ++pI) {
+            double da = d[bond_a[pI]], db = d[bond_b[pI]];
+            double ddv = da * db / (da + db);
+            D2v cd = c * ddv;
+            D2v g = zeta3_m1 + cd * 3.0 - cd * cd * (zeta3 - 1.0) * 2.0;
+            D2v lg = dlog(g);
+            for (int comp = 0; comp < 2; ++comp) {
+                double bc = bonds_p[comp * P + pI];
+                if (bc != 0.0) hc = hc - rho[comp] * bc * lg;
+            }
+        }
+
+        // dispersion: explicit (S, S) segment contraction per component pair
+        // with the phi correction and kab applied off-diagonally
+        double e1[2][2], e2[2][2];
+        for (int i = 0; i < 2; ++i)
+            for (int j = 0; j < 2; ++j) {
+                double s1 = 0.0, s2 = 0.0;
+                for (int a = 0; a < S; ++a) {
+                    double mia = m[i * S + a];
+                    if (mia == 0.0) continue;
+                    for (int b = 0; b < S; ++b) {
+                        double mjb = m[j * S + b];
+                        if (mjb == 0.0) continue;
+                        double eps_ab =
+                            std::sqrt(eps_k[a] * eps_k[b] * phi_corr[i] *
+                                      phi_corr[j]) /
+                            T;
+                        if (i != j) eps_ab *= (1.0 - kab[a * S + b]);
+                        double sab = std::pow(0.5 * (sigma[a] + sigma[b]), 3.0);
+                        double w = mia * mjb * eps_ab * sab;
+                        s1 += w;
+                        s2 += w * eps_ab;
+                    }
+                }
+                e1[i][j] = s1;
+                e2[i][j] = s2;
+            }
+        D2v rho_t = rho0 + rho1;
+        D2v mmean = (rho0 * md0[0] + rho1 * md0[1]) / rho_t;
+        D2v rho1mix = mk(0), rho2mix = mk(0);
+        for (int i = 0; i < 2; ++i)
+            for (int j = 0; j < 2; ++j) {
+                D2v rij = rho[i] * rho[j];
+                rho1mix = rho1mix + rij * e1[i][j];
+                rho2mix = rho2mix + rij * e2[i][j];
+            }
+        D2v m1 = (mmean - 1.0) / mmean;
+        D2v m2 = m1 * ((mmean - 2.0) / mmean);
+        D2v I1 = mk(0), I2 = mk(0);
+        for (int i = 0; i < 7; ++i) {
+            I1 = I1 + (m2 * A2C[i] + m1 * A1[i] + A0[i]) * etas[i];
+            I2 = I2 + (m2 * B2C[i] + m1 * B1[i] + B0[i]) * etas[i];
+        }
+        D2v C1 = 1.0 / (1.0 +
+                        mmean * (8.0 * zeta3 - 2.0 * z3_2) * zeta3_m2 * zeta3_m2 +
+                        (1.0 - mmean) *
+                            (20.0 * zeta3 - 27.0 * z3_2 + 12.0 * z3_2 * zeta3 -
+                             2.0 * z3_2 * z3_2) /
+                            ((1.0 - zeta3) * (1.0 - zeta3) * (2.0 - zeta3) *
+                             (2.0 - zeta3)));
+        D2v disp = (rho1mix * -2.0 * I1 - rho2mix * C1 * I2 * mmean) * PI;
+
+        D2v phi = hs + hc + disp;
+
+        // dipole on the gc component-level mixing-rule aggregates
+        if (mu2[0] != 0.0 || mu2[1] != 0.0) {
+            double mu2t[2] = {mu2[0] / T, mu2[1] / T};
+            double mc[2] = {std::min(m_mix[0], 2.0), std::min(m_mix[1], 2.0)};
+            phi = phi + phi_dipole2(mu2t, mc, sigma_mix, eps_mix, T, rho, etas);
+        }
+
+        // association regimes on the component aggregates
+        // (feos_torch/gc_pcsaft.py:309-441 dispatch)
+        int n_assoc = (kappa_ab[0] * eps_k_ab[0] != 0.0) +
+                      (kappa_ab[1] * eps_k_ab[1] != 0.0);
+        int n_self = (na[0] * nb[0] != 0.0) + (na[1] * nb[1] != 0.0);
+        if (n_assoc == 1 && n_self == 1) {
+            // single self-associating component, closed form for nA = nB = 1
+            int ia = (kappa_ab[0] * eps_k_ab[0] != 0.0) ? 0 : 1;
+            D2v delta = assoc_strength(ia, ia, T, zeta2, zeta3_m1);
+            D2v deltarho = delta * rho[ia];
+            D2v xa = 2.0 / (dsqrt(1.0 + 4.0 * deltarho) + 1.0);
+            phi = phi + rho[ia] * (2.0 * dlog(xa) - xa + 1.0);
+        } else if (n_assoc == 2 && n_self == 2) {
+            // two self-associating segments, nA = nB = 1 fixed point
+            // XA_i = 1 / (1 + sum_j XA_j Delta_ij rho_j)
+            D2v dd[2][2];
+            for (int i = 0; i < 2; ++i)
+                for (int j = 0; j < 2; ++j)
+                    dd[i][j] = assoc_strength(i, j, T, zeta2, zeta3_m1) * rho[j];
+            D2v xa0 = mk(0.2), xa1 = mk(0.2);
+            for (int it = 0; it < 50; ++it) {
+                D2v f0 = xa0 - 1.0 + xa0 * (xa0 * dd[0][0] + xa1 * dd[0][1]);
+                D2v f1 = xa1 - 1.0 + xa1 * (xa0 * dd[1][0] + xa1 * dd[1][1]);
+                D2v j00 = 1.0 + 2.0 * xa0 * dd[0][0] + xa1 * dd[0][1];
+                D2v j01 = xa0 * dd[0][1];
+                D2v j10 = xa1 * dd[1][0];
+                D2v j11 = 1.0 + xa0 * dd[1][0] + 2.0 * xa1 * dd[1][1];
+                D2v det = j00 * j11 - j01 * j10;
+                if (std::abs(det.re) < 1e-30) det = mk(1.0);
+                D2v n0 = xa0 - (j11 * f0 - j01 * f1) / det;
+                D2v n1 = xa1 - (j00 * f1 - j10 * f0) / det;
+                xa0 = (n0.re < 0.0) ? 0.2 * xa0 : n0;
+                xa1 = (n1.re < 0.0) ? 0.2 * xa1 : n1;
+            }
+            phi = phi + rho[0] * (2.0 * dlog(xa0) - xa0 + 1.0) +
+                  rho[1] * (2.0 * dlog(xa1) - xa1 + 1.0);
+        } else if (n_assoc == 2 && n_self == 1) {
+            // one self-associating + one induced segment, 1-unknown fixed
+            // point (same residual as the homosegmented induced regime)
+            D2v dd[2][2];
+            for (int i = 0; i < 2; ++i)
+                for (int j = 0; j < 2; ++j)
+                    dd[i][j] = assoc_strength(i, j, T, zeta2, zeta3_m1) * rho[j];
+            double na0 = na[0], na1 = na[1], nb0 = nb[0], nb1 = nb[1];
+            D2v xa = mk(0.2);
+            for (int it = 0; it < 50; ++it) {
+                D2v c0 = na0 * dd[0][0] + na1 * dd[0][1];
+                D2v c1 = na0 * dd[1][0] + na1 * dd[1][1];
+                D2v w0 = 1.0 + xa * c0;
+                D2v w1 = 1.0 + xa * c1;
+                D2v g0 = w0 * w1 + nb0 * w1 * dd[0][0] + nb1 * w0 * dd[0][1];
+                D2v g1 = w0 * w1 + nb0 * w1 * dd[1][0] + nb1 * w0 * dd[1][1];
+                D2v f = na0 * (xa * g0 - w0 * w1) + na1 * (xa * g1 - w0 * w1);
+                D2v dww = c0 * w1 + c1 * w0;
+                D2v dg0 = dww + nb0 * c1 * dd[0][0] + nb1 * c0 * dd[0][1];
+                D2v dg1 = dww + nb0 * c1 * dd[1][0] + nb1 * c0 * dd[1][1];
+                D2v df = na0 * (g0 + xa * dg0 - dww) + na1 * (g1 + xa * dg1 - dww);
+                if (std::abs(df.re) < 1e-30) df = mk(1.0);
+                D2v nx = xa - f / df;
+                xa = (nx.re < 0.0) ? 0.2 * xa : nx;
+            }
+            D2v xb0 = 1.0 / (1.0 + xa * (na0 * dd[0][0] + na1 * dd[0][1]));
+            D2v xb1 = 1.0 / (1.0 + xa * (na0 * dd[1][0] + na1 * dd[1][1]));
+            phi = phi + rho[0] * (site_f(xa) * na0 + site_f(xb0) * nb0) +
+                  rho[1] * (site_f(xa) * na1 + site_f(xb1) * nb1);
+        }
+        return phi;
+    }
+};
+
 }  // namespace
 
 extern "C" {
@@ -663,6 +932,99 @@ void feos_mix_derivatives(const double* params, const double* kij,
         p.kij = kij[2 * i];
         p.eps_aibj = kij[2 * i + 1];
         MixEos o = eos_mix(p, temperature[i], rho[2 * i], rho[2 * i + 1]);
+        out[4 * i] = o.phi;
+        out[4 * i + 1] = o.pt;
+        out[4 * i + 2] = o.mu[0];
+        out[4 * i + 3] = o.mu[1];
+    }
+}
+
+// gc-PC-SAFT entry points.  Shared segment table: sigma/eps_k (S), kab
+// (S, S), bonded-pair index lists bond_a/bond_b (P).  Per item i: m
+// (2, S) at m + 2*S*i, bonds_p (2, P), phi_corr (2), and comp (10, 2) =
+// rows [m_mix, sigma_mix, eps_mix, mu2, sigma_assoc, eps_assoc, kappa_ab,
+// eps_k_ab, na, nb] — the component-level aggregates of
+// feos_tpu.models.gc_pcsaft.assemble (reference src/gc_pcsaft.rs:26-69).
+
+static GcPar make_gc_par(int64_t S, const double* sigma, const double* eps_k,
+                         const double* kab, int64_t P, const int32_t* bond_a,
+                         const int32_t* bond_b, const double* m,
+                         const double* bonds_p, const double* phi_corr,
+                         const double* comp, int64_t i) {
+    GcPar g;
+    g.S = (int)S;
+    g.sigma = sigma;
+    g.eps_k = eps_k;
+    g.kab = kab;
+    g.P = (int)P;
+    g.bond_a = bond_a;
+    g.bond_b = bond_b;
+    g.m = m + 2 * S * i;
+    g.bonds_p = bonds_p + 2 * P * i;
+    g.phi_corr = phi_corr + 2 * i;
+    const double* c = comp + 20 * i;
+    g.m_mix = c;
+    g.sigma_mix = c + 2;
+    g.eps_mix = c + 4;
+    g.mu2 = c + 6;
+    g.sigma_assoc = c + 8;
+    g.eps_assoc = c + 10;
+    g.kappa_ab = c + 12;
+    g.eps_k_ab = c + 14;
+    g.na = c + 16;
+    g.nb = c + 18;
+    return g;
+}
+
+// Batched gc bubble/dew solve (reference src/gc_pcsaft.rs:103-171 contract
+// with fixed-shape NaN-filled outputs); p0 in reduced units; outputs
+// rho (n, 4) = [rho_V_1, rho_V_2, rho_L_1, rho_L_2] (A^-3) and p~.
+void feos_gc_vle(int64_t S, const double* sigma, const double* eps_k,
+                 const double* kab, int64_t P, const int32_t* bond_a,
+                 const int32_t* bond_b, const double* m, const double* bonds_p,
+                 const double* phi_corr, const double* comp,
+                 const double* temperature, const double* molefracs,
+                 const double* p0_red, int64_t n, int32_t is_bubble,
+                 double* rho_out, double* pt_out, uint8_t* ok) {
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int64_t i = 0; i < n; ++i) {
+        GcPar g = make_gc_par(S, sigma, eps_k, kab, P, bond_a, bond_b, m,
+                              bonds_p, phi_corr, comp, i);
+        double z[2] = {molefracs[i], 1.0 - molefracs[i]};
+        double rho_inc[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double rho_bulk[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double pt = 0.0 / 0.0;
+        bool good = mix_vle_cpp(g, temperature[i], z, p0_red[i],
+                                is_bubble != 0, rho_inc, rho_bulk, &pt);
+        ok[i] = good ? 1 : 0;
+        if (is_bubble != 0) {  // incipient phase is the vapor
+            rho_out[4 * i + 0] = rho_inc[0];
+            rho_out[4 * i + 1] = rho_inc[1];
+            rho_out[4 * i + 2] = rho_bulk[0];
+            rho_out[4 * i + 3] = rho_bulk[1];
+        } else {
+            rho_out[4 * i + 0] = rho_bulk[0];
+            rho_out[4 * i + 1] = rho_bulk[1];
+            rho_out[4 * i + 2] = rho_inc[0];
+            rho_out[4 * i + 3] = rho_inc[1];
+        }
+        pt_out[i] = pt;
+    }
+}
+
+// Batched gc Helmholtz derivatives (phi, p~, mu_1, mu_2) for
+// cross-validation of the differentiable gc core.
+void feos_gc_derivatives(int64_t S, const double* sigma, const double* eps_k,
+                         const double* kab, int64_t P, const int32_t* bond_a,
+                         const int32_t* bond_b, const double* m,
+                         const double* bonds_p, const double* phi_corr,
+                         const double* comp, const double* temperature,
+                         const double* rho, int64_t n, double* out /* 4n */) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        GcPar g = make_gc_par(S, sigma, eps_k, kab, P, bond_a, bond_b, m,
+                              bonds_p, phi_corr, comp, i);
+        MixEos o = eos_mix(g, temperature[i], rho[2 * i], rho[2 * i + 1]);
         out[4 * i] = o.phi;
         out[4 * i + 1] = o.pt;
         out[4 * i + 2] = o.mu[0];

@@ -154,7 +154,9 @@ class GcPcSaft:
         )
 
     def _solve(self, temperature, molefracs, pressure, bubble):
-        from .models.gc_pcsaft import _GC_BATCH_AXES, phi_gc, static_branches_gc
+        from .models.gc_pcsaft import (
+            _GC_BATCH_AXES, cast_float_fields, phi_gc, static_branches_gc,
+        )
         from .solvers.vle import mix_vle
 
         t = jnp.asarray(temperature, dtype=jnp.float64)
@@ -168,7 +170,7 @@ class GcPcSaft:
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / ti))
             md3 = g.m @ (d**3)
             f32 = jnp.float32
-            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            g32 = cast_float_fields(g, f32)
             return mix_vle(
                 lambda r: phi_gc(g, ti, r, assoc_q_form=True, branches=br),
                 z, pr, md3,

@@ -48,6 +48,15 @@ def _load():
         dp, dp, dp, dp, dp, ctypes.c_int64, ctypes.c_int32, dp, dp, u8
     ]
     lib.feos_mix_derivatives.argtypes = [dp, dp, dp, dp, ctypes.c_int64, dp]
+    i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.feos_gc_vle.argtypes = [
+        ctypes.c_int64, dp, dp, dp, ctypes.c_int64, i32, i32, dp, dp, dp, dp,
+        dp, dp, dp, ctypes.c_int64, ctypes.c_int32, dp, dp, u8,
+    ]
+    lib.feos_gc_derivatives.argtypes = [
+        ctypes.c_int64, dp, dp, dp, ctypes.c_int64, i32, i32, dp, dp, dp, dp,
+        dp, dp, ctypes.c_int64, dp,
+    ]
     _lib = lib
     return lib
 
@@ -142,6 +151,90 @@ def mix_vle_densities(parameters, kij, temperature, molefracs, pressure, bubble)
     )
     p_pa = pt * temperature / PA_PER_KT_TO_REDUCED
     return rho, p_pa, ok.astype(bool)
+
+
+def _gc_pack(gc_params):
+    """Flatten an assembled ``GcParams`` pytree into the contiguous arrays
+    the native gc entry points consume (shared segment table + per-item
+    component aggregates).  Only concrete (non-traced) parameters are
+    supported — the oracle is a host-side cross-validation tool."""
+    g = gc_params
+    sigma = np.ascontiguousarray(g.sigma, dtype=np.float64)
+    eps_k = np.ascontiguousarray(g.epsilon_k, dtype=np.float64)
+    kab = np.ascontiguousarray(g.kab, dtype=np.float64)
+    bond_a = np.ascontiguousarray(g.bond_a, dtype=np.int32)
+    bond_b = np.ascontiguousarray(g.bond_b, dtype=np.int32)
+    m = np.ascontiguousarray(g.m, dtype=np.float64)  # (B, 2, S)
+    bonds_p = np.ascontiguousarray(g.bonds_p, dtype=np.float64)  # (B, 2, P)
+    phi_corr = np.ascontiguousarray(g.phi_corr, dtype=np.float64)  # (B, 2)
+    comp = np.ascontiguousarray(
+        np.stack(
+            [
+                np.asarray(x, dtype=np.float64)
+                for x in (
+                    g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2,
+                    g.sigma_assoc, g.epsilon_k_assoc, g.kappa_ab,
+                    g.epsilon_k_ab, g.na, g.nb,
+                )
+            ],
+            axis=1,
+        )
+    )  # (B, 10, 2)
+    S = sigma.shape[0]
+    P = bond_a.shape[0]
+    return S, sigma, eps_k, kab, P, bond_a, bond_b, m, bonds_p, phi_corr, comp
+
+
+def gc_vle_densities(gc_params, temperature, molefracs, pressure, bubble):
+    """Batched gc bubble/dew solve — the independent oracle for the JAX gc
+    VLE path (``GcPcSaftMix.bubble_point/dew_point``).
+
+    ``gc_params`` is an assembled :class:`feos_tpu.models.gc_pcsaft.GcParams`
+    batch; ``pressure`` the initial estimate in Pa.  Returns ``(rho (n, 4) =
+    [rho_V_1, rho_V_2, rho_L_1, rho_L_2] in A^-3, p (n,) solved pressure in
+    Pa, ok (n,))`` — the reference native contract
+    (src/gc_pcsaft.rs:103-171) with fixed-shape NaN-filled outputs."""
+    lib = _load()
+    S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp = _gc_pack(
+        gc_params
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    molefracs = np.ascontiguousarray(molefracs, dtype=np.float64)
+    p0_red = np.ascontiguousarray(
+        np.asarray(pressure, dtype=np.float64)
+        / temperature
+        * PA_PER_KT_TO_REDUCED
+    )
+    n = temperature.shape[0]
+    rho = np.empty((n, 4), dtype=np.float64)
+    pt = np.empty(n, dtype=np.float64)
+    ok = np.empty(n, dtype=np.uint8)
+    lib.feos_gc_vle(
+        S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp,
+        temperature, molefracs, p0_red, n, 1 if bubble else 0, rho, pt, ok,
+    )
+    p_pa = pt * temperature / PA_PER_KT_TO_REDUCED
+    return rho, p_pa, ok.astype(bool)
+
+
+def gc_derivatives(gc_params, temperature, density):
+    """Batched gc (phi, p~, mu_1, mu_2) — cross-validation hook.
+
+    ``mu_i`` are *total* reduced chemical potentials (residual + ln rho_i).
+    """
+    lib = _load()
+    S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp = _gc_pack(
+        gc_params
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    density = np.ascontiguousarray(density, dtype=np.float64)
+    n = temperature.shape[0]
+    out = np.empty((n, 4), dtype=np.float64)
+    lib.feos_gc_derivatives(
+        S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp,
+        temperature, density, n, out,
+    )
+    return out[:, 0], out[:, 1], out[:, 2], out[:, 3]
 
 
 def mix_derivatives(parameters, kij, temperature, density):

@@ -39,17 +39,22 @@ class GcParams(NamedTuple):
     """Assembled gc parameters.
 
     Batched fields (leading batch axis under ``vmap``): ``m`` (n, S) segment
-    counts times segment m; ``bonds`` (n, S, S); ``phi_corr`` (n,); dipole
-    mixing ``m_mix``/``sigma_mix``/``epsilon_k_mix``/``mu2`` (n,);
-    association aggregates ``sigma_assoc``/``epsilon_k_assoc``/``kappa_ab``/
-    ``epsilon_k_ab``/``na``/``nb`` (n,).
+    counts times segment m; ``bonds_p`` (n, P) bond counts gathered onto the
+    static set of bonded segment pairs; ``e1b``/``e2b`` (n, n) precomputed
+    T-independent dispersion bases (see :func:`assemble`); ``phi_corr``
+    (n,); dipole mixing ``m_mix``/``sigma_mix``/``epsilon_k_mix``/``mu2``
+    (n,); association aggregates ``sigma_assoc``/``epsilon_k_assoc``/
+    ``kappa_ab``/``epsilon_k_ab``/``na``/``nb`` (n,).
 
     Segment-level fields (shared across the batch, vmapped with
-    ``in_axes=None``): ``sigma``/``epsilon_k`` (S,), ``kab`` (S, S).
+    ``in_axes=None``): ``sigma``/``epsilon_k`` (S,), ``kab`` (S, S), and
+    the static int32 bonded-pair indices ``bond_a``/``bond_b`` (P,).
     """
 
     m: jnp.ndarray
-    bonds: jnp.ndarray
+    bonds_p: jnp.ndarray
+    e1b: jnp.ndarray
+    e2b: jnp.ndarray
     phi_corr: jnp.ndarray
     m_mix: jnp.ndarray
     sigma_mix: jnp.ndarray
@@ -64,13 +69,26 @@ class GcParams(NamedTuple):
     sigma: jnp.ndarray
     epsilon_k: jnp.ndarray
     kab: jnp.ndarray
+    bond_a: jnp.ndarray
+    bond_b: jnp.ndarray
 
 
 _GC_BATCH_AXES = GcParams(
-    m=0, bonds=0, phi_corr=0, m_mix=0, sigma_mix=0, epsilon_k_mix=0, mu2=0,
-    sigma_assoc=0, epsilon_k_assoc=0, kappa_ab=0, epsilon_k_ab=0, na=0, nb=0,
-    sigma=None, epsilon_k=None, kab=None,
+    m=0, bonds_p=0, e1b=0, e2b=0, phi_corr=0, m_mix=0, sigma_mix=0,
+    epsilon_k_mix=0, mu2=0, sigma_assoc=0, epsilon_k_assoc=0, kappa_ab=0,
+    epsilon_k_ab=0, na=0, nb=0,
+    sigma=None, epsilon_k=None, kab=None, bond_a=None, bond_b=None,
 )
+
+
+def cast_float_fields(g: GcParams, dtype):
+    """Cast the floating-point fields of ``GcParams`` (the static int32
+    bond-pair indices must survive the solvers' f32 warmup cast)."""
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(jnp.result_type(v), jnp.floating) else v,
+        g,
+    )
 
 
 def assemble(
@@ -109,6 +127,19 @@ def assemble(
                 hi, lo = sorted((seg_idx[comp_segs[i]], seg_idx[comp_segs[j]]))[::-1]
                 bonds[b, c, hi, lo] += 1.0
 
+    # Gather the bond-count tensor onto the STATIC set of segment pairs
+    # bonded anywhere in the batch: the hard-chain term then evaluates
+    # ln g(d_a, d_b) on P ~ O(bonds) pairs per Newton iteration instead of
+    # the full (S, S) = 23^2 matrix of the sauer2014 table.  Topology is
+    # always concrete (host lists), so the pair set is trace-time static.
+    pair_mask = bonds.any(axis=(0, 1))
+    bond_a, bond_b = np.nonzero(pair_mask)
+    if bond_a.size == 0:  # no bonds anywhere (all single-segment molecules)
+        bond_a, bond_b = np.array([0]), np.array([0])
+    bonds_p = jnp.asarray(bonds[:, :, bond_a, bond_b])  # (B, n, P)
+    bond_a = jnp.asarray(bond_a, dtype=jnp.int32)
+    bond_b = jnp.asarray(bond_b, dtype=jnp.int32)
+
     # parameter-derived quantities in jnp so they stay differentiable
     # (e.g. gradients w.r.t. the binary segment parameters kab)
     counts = jnp.asarray(counts)
@@ -144,9 +175,34 @@ def assemble(
         kab_arr = kab_arr.at[i, j].set(k)
         kab_arr = kab_arr.at[j, i].set(k)
 
+    # Precompute the dispersion bases: in the reference's 4-level loop
+    # (feos_torch/gc_pcsaft.py:177-194) the (S, S) segment contraction is
+    # density-independent — temperature enters as 1/T (rho1mix) and 1/T^2
+    # (rho2mix) scalars.  Collapsing it here turns the per-Newton-iteration
+    # dispersion cost from O(n^2 S^2) tensor work into an O(n^2) contraction
+    # with rho_i rho_j (the ~5.5x gc-vs-homosegmented throughput gap of
+    # round 2).  All factors are jnp, so kab/phi/segment-parameter gradients
+    # flow through the bases.
+    se = jnp.sqrt(epsilon_k[:, None] * epsilon_k[None, :])  # (S, S)
+    sigma_ab3 = (0.5 * (sigma[:, None] + sigma[None, :])) ** 3
+    kfac = 1.0 - kab_arr
+    # D0/Dk: sum_ab m_ia m_jb sqrt(eps_a eps_b) sigma_ab^3 {1, (1-kab)}
+    D0 = jnp.einsum("bia,ac,bjc->bij", m, se * sigma_ab3, m)
+    Dk = jnp.einsum("bia,ac,bjc->bij", m, se * kfac * sigma_ab3, m)
+    # E0/Ek: same with eps_a eps_b {1, (1-kab)^2} for the squared term
+    E0 = jnp.einsum("bia,ac,bjc->bij", m, se * se * sigma_ab3, m)
+    Ek = jnp.einsum("bia,ac,bjc->bij", m, se * se * kfac * kfac * sigma_ab3, m)
+    sqphi = jnp.sqrt(phi_corr[:, :, None] * phi_corr[:, None, :])  # (B, n, n)
+    n_comp = m_mix.shape[1]
+    offdiag = 1.0 - jnp.eye(n_comp, dtype=jnp.float64)
+    e1b = sqphi * jnp.where(offdiag[None], Dk, D0)
+    e2b = sqphi * sqphi * jnp.where(offdiag[None], Ek, E0)
+
     return GcParams(
         m=m,
-        bonds=jnp.asarray(bonds),
+        bonds_p=bonds_p,
+        e1b=e1b,
+        e2b=e2b,
         phi_corr=phi_corr,
         m_mix=m_mix,
         sigma_mix=sigma_mix,
@@ -161,6 +217,8 @@ def assemble(
         sigma=sigma,
         epsilon_k=epsilon_k,
         kab=kab_arr,
+        bond_a=bond_a,
+        bond_b=bond_b,
     )
 
 
@@ -209,31 +267,25 @@ def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
         + (zeta2 * zeta23 * zeta23 - zeta0) * jnp.log(1.0 - zeta3)
     )
 
-    # hard chain over bonded segment pairs (reference feos_torch/gc_pcsaft.py:156-165)
+    # hard chain over the static set of bonded segment pairs (reference
+    # feos_torch/gc_pcsaft.py:156-165): ln g is needed only where a bond
+    # exists, so evaluate it on the P gathered pairs instead of (S, S)
     c = zeta2 * zeta3_m2
-    dd = d[:, None] * d[None, :] / (d[:, None] + d[None, :])  # (S, S)
+    da, db = d[g.bond_a], d[g.bond_b]  # (P,)
+    dd = da * db / (da + db)
     cdab = c * dd
     g_ab = zeta3_m1 + cdab * 3.0 - cdab * cdab * (zeta3 - 1.0) * 2.0
     ln_g = jnp.log(g_ab)
-    hc = -jnp.sum(rho[:, None, None] * g.bonds * ln_g[None, :, :])
+    hc = -jnp.sum(rho[:, None] * g.bonds_p * ln_g[None, :])
 
-    # dispersion over all component/segment pairs with phi correction and kab
+    # dispersion over component pairs: the (S, S) segment contraction with
+    # phi correction and kab is precomputed at assembly (g.e1b/g.e2b, see
+    # :func:`assemble`); temperature reattaches as 1/T and 1/T^2
     x = rho / jnp.sum(rho)
     mmean = jnp.sum(x * md0)
-    eps_seg = g.epsilon_k[:, None] * g.epsilon_k[None, :]  # (S, S)
-    phi_pair = g.phi_corr[:, None] * g.phi_corr[None, :]  # (n, n)
-    eps_ab = (
-        jnp.sqrt(eps_seg[None, None, :, :] * phi_pair[:, :, None, None])
-        / temperature
-    )
-    offdiag = 1.0 - jnp.eye(n, dtype=dtype)
-    eps_ab = eps_ab * (1.0 - g.kab[None, None, :, :] * offdiag[:, :, None, None])
-    sigma_ab = (0.5 * (g.sigma[:, None] + g.sigma[None, :])) ** 3  # (S, S)
-    m_ab = g.m[:, None, :, None] * g.m[None, :, None, :]  # (n, n, S, S)
     rho_ij = rho[:, None] * rho[None, :]  # (n, n)
-    w = rho_ij[:, :, None, None] * m_ab * eps_ab * sigma_ab[None, None, :, :]
-    rho1mix = jnp.sum(w)
-    rho2mix = jnp.sum(w * eps_ab)
+    rho1mix = jnp.sum(rho_ij * g.e1b) / temperature
+    rho2mix = jnp.sum(rho_ij * g.e2b) / (temperature * temperature)
 
     m1 = (mmean - 1.0) / mmean
     m2 = m1 * (mmean - 2.0) / mmean
@@ -505,7 +557,7 @@ class GcPcSaftMix:
             z = jnp.stack([x1, 1.0 - x1])
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
             md3 = g.m @ (d**3)
-            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            g32 = cast_float_fields(g, f32)
             t32 = t.astype(f32)
             # Q-form association only in the f64 residual graph; the f32
             # closure supplies Newton Jacobians and must stay the exact
@@ -528,7 +580,7 @@ class GcPcSaftMix:
             p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
             p_b = p_b[0]
             mu_b = jnp.log(r_bulk) + g_b[0]
-            g32 = jax.tree_util.tree_map(lambda v: v.astype(f32), g)
+            g32 = cast_float_fields(g, f32)
             v_b = pressure_set(
                 lambda r: phi_gc(g32, t.astype(f32), r, branches=br),
                 r_bulk.astype(f32),
