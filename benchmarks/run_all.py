@@ -12,6 +12,10 @@
 
 Run:  python benchmarks/run_all.py            (all configs)
       python benchmarks/run_all.py 1 3        (subset)
+
+With BENCH_ALL_OUT=<path> every reported line is also appended to a JSON
+artifact (the per-round ``BENCH_ALL_r*.json`` record), so mixture/gc perf
+regressions are visible to the recorded history, not just stdout.
 """
 
 import json
@@ -44,8 +48,23 @@ def _timeit(fn, *args, reps=5):
     return (time.time() - t0) / reps, out
 
 
+_RESULTS = []
+
+
 def report(name, value, unit, **extra):
-    print(json.dumps({"metric": name, "value": round(value, 2), "unit": unit, **extra}))
+    rec = {"metric": name, "value": round(value, 2), "unit": unit, **extra}
+    _RESULTS.append(rec)
+    print(json.dumps(rec))
+
+
+def _write_artifact():
+    out = os.environ.get("BENCH_ALL_OUT")
+    if out and _RESULTS:
+        payload = {
+            "device": jax.devices()[0].device_kind,
+            "results": _RESULTS,
+        }
+        Path(out).write_text(json.dumps(payload, indent=1) + "\n")
 
 
 def config1():
@@ -170,7 +189,9 @@ def config5():
     """North-star throughput (same as bench.py)."""
     import bench
 
-    bench.main()
+    rec = bench.main(echo=False)
+    report(rec["metric"], rec["value"], rec["unit"],
+           **{k: v for k, v in rec.items() if k not in ("metric", "value", "unit")})
 
 
 def main():
@@ -178,6 +199,7 @@ def main():
     fns = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
     for k in picks:
         fns[k]()
+    _write_artifact()
 
 
 if __name__ == "__main__":

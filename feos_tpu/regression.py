@@ -63,6 +63,33 @@ class FitResult(NamedTuple):
     loss_history: jnp.ndarray
 
 
+def _run_fit(loss_fn, optimizer, theta, steps: int):
+    """Jitted ``lax.scan`` training loop shared by the fitting entry points.
+
+    One device program for the whole fit: no per-step host round trip, the
+    loss history materializes as a single stacked (steps,) array, and the
+    parameter/optimizer buffers are donated so the optimizer state updates
+    in place.
+    """
+    opt_state = optimizer.init(theta)
+
+    def body(carry, _):
+        theta, opt_state = carry
+        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        updates, opt_state = optimizer.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return (theta, opt_state), loss
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(theta, opt_state):
+        (theta, _), losses = jax.lax.scan(
+            body, (theta, opt_state), length=steps
+        )
+        return theta, losses
+
+    return run(theta, opt_state)
+
+
 def fit_pure(
     initial_parameters,
     temperature,
@@ -112,20 +139,8 @@ def fit_pure(
         scale = jax.device_put(scale, repl)
         loss_fn = lambda z: pure_loss(z * scale, temperature, p_sat, rho_liq, pressure)
 
-    opt_state = optimizer.init(params)
-
-    @jax.jit
-    def step(params, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
-
-    losses = []
-    for _ in range(steps):
-        params, opt_state, loss = step(params, opt_state)
-        losses.append(loss)
-    return FitResult(params * scale, jnp.stack(losses))
+    params, losses = _run_fit(loss_fn, optimizer, params, steps)
+    return FitResult(params * scale, losses)
 
 
 def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
@@ -211,19 +226,7 @@ def fit_binary(
         p_bubble = jax.device_put(p_bubble, batch_sh)
         theta = jax.device_put(theta, repl)
 
-    opt_state = optimizer.init(theta)
-
-    @jax.jit
-    def step(theta, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(theta)
-        updates, opt_state = optimizer.update(grads, opt_state, theta)
-        theta = optax.apply_updates(theta, updates)
-        return theta, opt_state, loss
-
-    losses = []
-    for _ in range(steps):
-        theta, opt_state, loss = step(theta, opt_state)
-        losses.append(loss)
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps)
     kij_fit = theta[0]
     eps_fit = theta[1] * eps_scale if fit_eps else jnp.asarray(0.0)
-    return FitResult(jnp.stack([kij_fit, eps_fit]), jnp.stack(losses))
+    return FitResult(jnp.stack([kij_fit, eps_fit]), losses)
