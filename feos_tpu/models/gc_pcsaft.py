@@ -541,7 +541,12 @@ class GcPcSaftMix:
     def _incipient(self, temperature, molefracs, pressure, bubble):
         """Value from the solver's carried state, gradient from the
         stationary identity with f32 partial molar volumes — see
-        pcsaft_mix._incipient_property for the full rationale."""
+        pcsaft_mix._incipient_property for the full rationale.
+
+        ``molefracs`` may be the reference's binary (B,) x1 convention or
+        an explicit (B, n) composition matrix for n-component gc mixtures
+        (beyond the reference's binary-only native solvers, matching the
+        homosegmented model's n-component support)."""
         from ..solvers.vle import (
             _states_eos, mix_vle, solve_with_identity_gradients,
         )
@@ -549,12 +554,19 @@ class GcPcSaftMix:
         temperature = jnp.asarray(temperature, dtype=jnp.float64)
         molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
         pressure = jnp.asarray(pressure, dtype=jnp.float64)
+        n = self.params.m_mix.shape[1]
+        if molefracs.ndim == 1:
+            if n != 2:
+                raise ValueError(
+                    "scalar molefracs are the binary x1 convention; pass a "
+                    f"(B, {n}) composition matrix for {n}-component mixtures"
+                )
+            molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
         p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
         f32 = jnp.float32
         br = static_branches_gc(self.params)
 
-        def solve_item(g, t, x1, pr):
-            z = jnp.stack([x1, 1.0 - x1])
+        def solve_item(g, t, z, pr):
             d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
             md3 = g.m @ (d**3)
             g32 = cast_float_fields(g, f32)
@@ -570,9 +582,12 @@ class GcPcSaftMix:
             )
 
         def solve_batch(diff_args):
-            gd, td = diff_args
+            # molefracs/p_red ride in diff_args, not the closure: a traced
+            # composition or temperature makes them tracers, which must not
+            # be captured by the custom_jvp closure (see pcsaft_mix)
+            gd, td, zd, prd = diff_args
             return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-                gd, td, molefracs, p_red
+                gd, td, zd, prd
             )
 
         def attach(g, t, r_inc, r_bulk):
@@ -593,7 +608,7 @@ class GcPcSaftMix:
             return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
         def ident_batch(diff_args, rho_inc, rho_bulk):
-            gd, td = diff_args
+            gd, td, _, _ = diff_args
             return jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
                 gd, td, rho_inc, rho_bulk
             )
@@ -601,7 +616,8 @@ class GcPcSaftMix:
         # value from the solver, derivatives from the stationary identity
         # (custom_jvp: identity traced only under AD; see solvers/vle.py)
         pt_eq, ok, _, _ = solve_with_identity_gradients(
-            solve_batch, ident_batch, (self.params, temperature)
+            solve_batch, ident_batch,
+            (self.params, temperature, molefracs, p_red),
         )
         pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
         return jnp.where(ok, pressure_out, jnp.nan), ~ok

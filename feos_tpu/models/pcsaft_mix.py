@@ -482,8 +482,13 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
         )
 
     def solve_batch(diff_args):
-        pd, kvd, evd, td = diff_args
-        return jax.vmap(solve_item)(pd, kvd, evd, td, molefracs, p_red)
+        # molefracs/p_red ride in diff_args (NOT the closure): under a
+        # temperature/composition gradient they are tracers, and a tracer
+        # captured by the custom_jvp closure leaks out of the transform.
+        # The identity ignores them, so their gradient contribution is the
+        # (correct) zero of the reference's detached-solver convention.
+        pd, kvd, evd, td, zd, prd = diff_args
+        return jax.vmap(solve_item)(pd, kvd, evd, td, zd, prd)
 
     def attach(pi, ki, ei, t, r_inc, r_bulk):
         phi_fn = lambda r: phi_mix(pi, ki, ei, t, r, branches=br)
@@ -508,14 +513,14 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
         return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
     def ident_batch(diff_args, rho_inc, rho_bulk):
-        pd, kvd, evd, td = diff_args
+        pd, kvd, evd, td, _, _ = diff_args
         return jax.vmap(attach)(pd, kvd, evd, td, rho_inc, rho_bulk)
 
     # value from the solver's carried state, derivatives from the
     # stationary identity — the identity graph is traced only under AD
     # (jax.custom_jvp; see solve_with_identity_gradients)
     pt_eq, ok, _, _ = solve_with_identity_gradients(
-        solve_batch, ident_batch, (p, kv, ev, temperature)
+        solve_batch, ident_batch, (p, kv, ev, temperature, molefracs, p_red)
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
     return jnp.where(ok, pressure_out, jnp.nan), ~ok

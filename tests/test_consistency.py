@@ -76,6 +76,48 @@ def test_vapor_pressure_clausius_clapeyron_sign():
     assert np.all(np.diff(np.asarray(vp)) > 0)
 
 
+def test_vapor_pressure_temperature_gradient_fd():
+    """AD dp_sat/dT through the stationary identity vs central finite
+    differences (the reference exposes temperature gradients by marking T
+    requires_grad, reference tests/test_gc_pcsaft.py:141)."""
+    from feos_tpu.models.pcsaft_pure import vapor_pressure
+
+    params = np.tile([1.5, 3.5, 250.0, 0, 0.03, 1500.0, 1, 1], (1, 1))
+
+    def psat(t):
+        nans, vp = vapor_pressure(params, t[None])
+        return vp[0]
+
+    T0 = jnp.float64(300.0)
+    g = jax.jit(jax.grad(psat))(T0)
+    h = 1e-3
+    fd = (psat(T0 + h) - psat(T0 - h)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-5)
+
+
+def test_bubble_point_temperature_gradient_fd():
+    """AD d p_bubble/dT vs central finite differences for the associating
+    binary with kij (temperature enters both the solve and the stationary
+    mixture identity)."""
+    params = np.array(
+        [[[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500, 1, 1]]]
+    )
+    kij = np.array([[-0.15, 1000.0]])
+    x = jnp.array([0.5])
+    p0 = jnp.array([1e5])
+    br = M.static_branches(params)
+
+    def pb(t):
+        p, nans = M.bubble_point(params, kij, t[None], x, p0, branches=br)
+        return p[0]
+
+    T0 = jnp.float64(150.0)
+    g = jax.jit(jax.grad(pb))(T0)
+    h = 1e-3
+    fd = (pb(T0 + h) - pb(T0 - h)) / (2 * h)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-4)
+
+
 def test_assoc_q_form_matches_exact_phi():
     """The Michelsen Q-form association (stop-gradiented site fractions,
     used by the VLE solvers' f64 residual) must agree with the exact

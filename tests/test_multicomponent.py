@@ -55,6 +55,61 @@ def test_ternary_reduces_to_binary_at_trace_dilution():
     np.testing.assert_allclose(np.asarray(pb3), np.asarray(pb2), rtol=1e-5)
 
 
+def test_gc_ternary_bubble_dew_and_trace_dilution():
+    """gc bubble/dew accept (B, n) composition matrices like the
+    homosegmented model; the ternary with one vanishing component must
+    reproduce the binary result (which is C++-oracle-validated in
+    test_gc_pcsaft.py)."""
+    import json
+    from pathlib import Path
+
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = json.loads(
+        (Path(__file__).parent / "sauer2014_hetero.json").read_text()
+    )
+    ident = [r["identifier"] for r in segs]
+    col = lambda k: np.array([r["model_record"].get(k, 0) for r in segs])
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab",
+                  "epsilon_k_ab", "na", "nb"]
+    )
+    B = 2
+    # butane / propane / pentane
+    seg3 = [[
+        ["CH3", "CH2", "CH2", "CH3"],
+        ["CH3", "CH2", "CH3"],
+        ["CH3", "CH2", "CH2", "CH2", "CH3"],
+    ]] * B
+    bnd3 = [[
+        [[0, 1], [1, 2], [2, 3]],
+        [[0, 1], [1, 2]],
+        [[0, 1], [1, 2], [2, 3], [3, 4]],
+    ]] * B
+    eos3 = GcPcSaftMix(ident, parameter, seg3, bnd3, [], None)
+    T = np.array([230.0, 250.0])
+    p0 = np.full(B, 1e5)
+    z = np.tile([0.3, 0.3, 0.4], (B, 1))
+    pb, nb = jax.jit(eos3.bubble_point)(T, z, p0)
+    pd, nd = jax.jit(eos3.dew_point)(T, z, p0)
+    assert not np.asarray(nb).any() and not np.asarray(nd).any()
+    assert np.all(np.asarray(pd) < np.asarray(pb))
+
+    # trace-dilution: pentane fraction -> 0 reduces to the binary
+    z_tr = np.tile([0.4 - 5e-9, 0.6 - 5e-9, 1e-8], (B, 1))
+    pb3, nb3 = jax.jit(eos3.bubble_point)(T, z_tr, p0)
+    eos2 = GcPcSaftMix(
+        ident, parameter,
+        [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * B,
+        [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * B,
+        [], None,
+    )
+    pb2, nb2 = jax.jit(eos2.bubble_point)(T, np.full(B, 0.4), p0)
+    assert not np.asarray(nb3).any() and not np.asarray(nb2).any()
+    np.testing.assert_allclose(np.asarray(pb3), np.asarray(pb2), rtol=1e-5)
+
+
 def test_kij_rejected_for_ternary():
     params = np.tile(COMPS, (1, 1, 1))
     try:
