@@ -30,7 +30,7 @@ from .models.pcsaft_mix import MixParams, PcSaftMix  # noqa: E402
 from .models.gc_pcsaft import GcPcSaftMix  # noqa: E402
 from . import units  # noqa: E402
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "PcSaftPure",
