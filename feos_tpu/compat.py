@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.pcsaft_mix import MixParams, phi_mix, static_branches
+from .models.pcsaft_mix import (
+    MixParams, phi_mix_pre, precompute_mix, static_branches,
+)
 from .models.pcsaft_pure import PureParams
 from .units import PA_PER_KT_TO_REDUCED
 
@@ -94,19 +96,17 @@ def _binary_vle(parameters, kij, temperature, molefracs, pressure, bubble):
 
     def item(pi, ki, ei, ti, xi, pr):
         z = jnp.stack([xi, 1.0 - xi])
-        d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / ti))
-        md3 = pi.m * d**3
+        pre = precompute_mix(pi, ki, ei, ti)
         f32 = jnp.float32
         pi32 = MixParams(*(v.astype(f32) for v in pi))
+        pre32 = precompute_mix(
+            pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32)
+        )
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, ti, r, assoc_q_form=True,
-                              branches=br),
-            z, pr, md3,
+            lambda r: phi_mix_pre(pre, r, assoc_q_form=True, branches=br),
+            z, pr, pre.md3,
             incipient_is_vapor=bubble,
-            phi_fn32=lambda r: phi_mix(
-                pi32, ki.astype(f32), ei.astype(f32), ti.astype(f32), r,
-                branches=br,
-            ),
+            phi_fn32=lambda r: phi_mix_pre(pre32, r, branches=br),
         )
 
     rho_inc, rho_bulk, ok, _ = jax.jit(jax.vmap(item))(
@@ -155,7 +155,8 @@ class GcPcSaft:
 
     def _solve(self, temperature, molefracs, pressure, bubble):
         from .models.gc_pcsaft import (
-            _GC_BATCH_AXES, cast_float_fields, phi_gc, static_branches_gc,
+            _GC_BATCH_AXES, cast_float_fields, phi_gc_pre, precompute_gc,
+            static_branches_gc,
         )
         from .solvers.vle import mix_vle
 
@@ -167,15 +168,15 @@ class GcPcSaft:
 
         def item(g, ti, xi, pr):
             z = jnp.stack([xi, 1.0 - xi])
-            d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / ti))
-            md3 = g.m @ (d**3)
+            pre = precompute_gc(g, ti)
             f32 = jnp.float32
             g32 = cast_float_fields(g, f32)
+            pre32 = precompute_gc(g32, ti.astype(f32))
             return mix_vle(
-                lambda r: phi_gc(g, ti, r, assoc_q_form=True, branches=br),
-                z, pr, md3,
+                lambda r: phi_gc_pre(pre, r, assoc_q_form=True, branches=br),
+                z, pr, pre.md3,
                 incipient_is_vapor=bubble,
-                phi_fn32=lambda r: phi_gc(g32, ti.astype(f32), r, branches=br),
+                phi_fn32=lambda r: phi_gc_pre(pre32, r, branches=br),
             )
 
         rho_inc, rho_bulk, ok, _ = jax.jit(

@@ -14,6 +14,8 @@ belong to a regime are handled by *input sanitization + output masking*
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +23,103 @@ import numpy as np
 from ..constants import AD, BD, CD
 
 PI = np.pi
+
+
+class DipolePre(NamedTuple):
+    """Density-independent dipole quantities (see :func:`precompute_dipole`).
+
+    ``pc`` has shape (n_pairs, 5) — one J2 eta-coefficient vector per
+    unordered component pair (i <= j, enumerated row-major) already scaled
+    by the pair's mu^2/sigma^3/multiplicity weights; ``tc`` (n_triplets, 4)
+    is the J3 analogue over i <= j <= k; ``mu2_max`` is the normalization
+    pulled out of the accumulated sums (scale-safety, see
+    :func:`phi_dipole`).
+    """
+
+    pc: jnp.ndarray
+    tc: jnp.ndarray
+    mu2_max: jnp.ndarray
+
+
+def precompute_dipole(m, sigma, epsilon_k, mu2_scaled, temperature):
+    """Hoist everything density-independent out of :func:`phi_dipole`.
+
+    The pair/triplet integral coefficient vectors, the 1/sigma weights and
+    the mu^2 temperature scaling depend only on (parameters, T); inside the
+    VLE Newton loops they are loop-invariant, and explicit precomputation
+    (once per solve) is what actually removes them from the loop body under
+    the TPU's f64-emulation lowering.
+    """
+    n = m.shape[0]
+    dtype = jnp.result_type(m, temperature)
+    cAD = jnp.asarray(AD, dtype=dtype)
+    cBD = jnp.asarray(BD, dtype=dtype)
+    cCD = jnp.asarray(CD, dtype=dtype)
+
+    mu2_term = mu2_scaled / temperature
+    mc = jnp.clip(m, max=2.0)
+    mu2_max = jnp.max(mu2_term)
+    mu2_max = jnp.where(mu2_max > 0.0, mu2_max, 1.0)
+    mu2_term = mu2_term / mu2_max
+
+    pc = []
+    for i in range(n):
+        for j in range(i, n):
+            sigma_ij_3 = (0.5 * (sigma[i] + sigma[j])) ** 3
+            mij = jnp.sqrt(mc[i] * mc[j])
+            mij1 = (mij - 1.0) / mij
+            mij2 = mij1 * (mij - 2.0) / mij
+            eps_ij_t = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
+            a = cAD[:, 0] + mij1 * cAD[:, 1] + mij2 * cAD[:, 2]
+            b = cBD[:, 0] + mij1 * cBD[:, 1] + mij2 * cBD[:, 2]
+            c = 1.0 if i == j else 2.0
+            pc.append(
+                (eps_ij_t * b + a)
+                * (mu2_term[i] * mu2_term[j] / sigma_ij_3 * c)
+            )
+
+    tc = []
+    for i in range(n):
+        for j in range(i, n):
+            for k in range(j, n):
+                sigma_ij = 0.5 * (sigma[i] + sigma[j])
+                sigma_ik = 0.5 * (sigma[i] + sigma[k])
+                sigma_jk = 0.5 * (sigma[j] + sigma[k])
+                mijk = (mc[i] * mc[j] * mc[k]) ** (1.0 / 3.0)
+                mijk1 = (mijk - 1.0) / mijk
+                mijk2 = mijk1 * (mijk - 2.0) / mijk
+                c3 = {1: 1.0, 2: 3.0, 3: 6.0}[len({i, j, k})]
+                tc.append(
+                    (cCD[:, 0] + mijk1 * cCD[:, 1] + mijk2 * cCD[:, 2])
+                    * (
+                        mu2_term[i] * mu2_term[j] * mu2_term[k]
+                        / (sigma_ij * sigma_ik * sigma_jk) * c3
+                    )
+                )
+
+    return DipolePre(pc=jnp.stack(pc), tc=jnp.stack(tc), mu2_max=mu2_max)
+
+
+def phi_dipole_pre(dp: DipolePre, n, rho, etas):
+    """Dipolar contribution from precomputed coefficients (the
+    density-dependent half of :func:`phi_dipole`).  ``n`` is the static
+    component count (the pair/triplet enumeration is rebuilt from it)."""
+    rho_t = jnp.sum(rho)
+    w = rho / rho_t
+    w2 = jnp.stack([w[i] * w[j] for i in range(n) for j in range(i, n)])
+    w3 = jnp.stack(
+        [
+            w[i] * w[j] * w[k]
+            for i in range(n)
+            for j in range(i, n)
+            for k in range(j, n)
+        ]
+    )
+    S2 = -PI * jnp.dot(w2 @ dp.pc, etas[:5])
+    S3 = -(4.0 / 3.0 * PI * PI) * jnp.dot(w3 @ dp.tc, etas[:4])
+    phi2 = rho_t * rho_t * S2 * (dp.mu2_max * dp.mu2_max)
+    ratio = rho_t * dp.mu2_max * S3 / jnp.where(S2 != 0.0, S2, 1.0)
+    return phi2 / (1.0 - ratio)
 
 
 def pair_integral(mij1, mij2, etas, eps_ij_t):
@@ -51,62 +150,28 @@ def phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas):
     denominator guarded so that mu = 0 rows contribute exactly zero with
     finite gradients (the reference instead row-subsets,
     feos_torch/pcsaft_mix.py:111-115).
+
+    The pair/triplet sums accumulate on composition weights w = rho/rho_t
+    (O(1)) and reattach the total-density powers at the end; the ratio
+    phi3/phi2 of the Pade is then rho_t * (S3/S2) with S2, S3 both O(1).
+    Accumulating on raw partial densities instead makes phi2 ~ O(rho^2)
+    and the quotient's second derivative touches phi2^3, which
+    under-/overflows the TPU's emulated-f64 exponent range (~1e+-38) at
+    dilute states and poisons derivatives with NaN/inf.
+
+    The dipole scale needs the same treatment: S2 ~ mu^4 and the ratio's
+    density derivatives divide by S2^2, which underflows f32 (and the
+    emulated-f64 range) for tiny dipole moments (e.g. FD perturbations
+    around mu = 0).  ``mu2_term`` is normalized by its largest component so
+    the accumulated sums are O(1) in mu; the net powers reattach at the end
+    (see :func:`phi_dipole_pre`).
+
+    Thin wrapper over :func:`precompute_dipole` + :func:`phi_dipole_pre`;
+    hot loops should call the split form so the rho-free half is computed
+    once per solve.
     """
-    n = m.shape[0]
-    mu2_term = mu2_scaled / temperature
-    mc = jnp.clip(m, max=2.0)
-    # Accumulate the pair/triplet sums on composition weights w = rho/rho_t
-    # (O(1)) and reattach the total-density powers at the end; the ratio
-    # phi3/phi2 of the Pade is then rho_t * (S3/S2) with S2, S3 both O(1).
-    # Accumulating on raw partial densities instead makes phi2 ~ O(rho^2)
-    # and the quotient's second derivative touches phi2^3, which
-    # under-/overflows the TPU's emulated-f64 exponent range (~1e+-38) at
-    # dilute states and poisons derivatives with NaN/inf.
-    #
-    # The dipole scale needs the same treatment: S2 ~ mu^4 and the ratio's
-    # density derivatives divide by S2^2, which underflows f32 (and the
-    # emulated-f64 range) for tiny dipole moments (e.g. FD perturbations
-    # around mu = 0).  Normalize mu2_term by its largest component so the
-    # accumulated sums are O(1) in mu; the net powers reattach at the end.
-    mu2_max = jnp.max(mu2_term)
-    mu2_max = jnp.where(mu2_max > 0.0, mu2_max, 1.0)
-    mu2_term = mu2_term / mu2_max
-    rho_t = jnp.sum(rho)
-    w = rho / rho_t
-    S2 = 0.0
-    S3 = 0.0
-    for i in range(n):
-        for j in range(i, n):
-            sigma_ij_3 = (0.5 * (sigma[i] + sigma[j])) ** 3
-            mij = jnp.sqrt(mc[i] * mc[j])
-            mij1 = (mij - 1.0) / mij
-            mij2 = mij1 * (mij - 2.0) / mij
-            eps_ij_t = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
-            c = 1.0 if i == j else 2.0
-            S2 = S2 - (
-                w[i] * w[j] * mu2_term[i] * mu2_term[j]
-                * pair_integral(mij1, mij2, etas, eps_ij_t) / sigma_ij_3 * c
-            )
-            for k in range(j, n):
-                sigma_ij = 0.5 * (sigma[i] + sigma[j])
-                sigma_ik = 0.5 * (sigma[i] + sigma[k])
-                sigma_jk = 0.5 * (sigma[j] + sigma[k])
-                mijk = (mc[i] * mc[j] * mc[k]) ** (1.0 / 3.0)
-                mijk1 = (mijk - 1.0) / mijk
-                mijk2 = mijk1 * (mijk - 2.0) / mijk
-                c3 = {1: 1.0, 2: 3.0, 3: 6.0}[len({i, j, k})]
-                S3 = S3 - (
-                    w[i] * w[j] * w[k]
-                    * mu2_term[i] * mu2_term[j] * mu2_term[k]
-                    * triplet_integral(mijk1, mijk2, etas)
-                    / (sigma_ij * sigma_ik * sigma_jk) * c3
-                )
-    S2 = S2 * PI
-    S3 = S3 * (4.0 / 3.0 * PI * PI)
-    # reattach the mu scale: phi2 gains mu2_max^2, the ratio gains mu2_max
-    phi2 = rho_t * rho_t * S2 * (mu2_max * mu2_max)
-    ratio = rho_t * mu2_max * S3 / jnp.where(S2 != 0.0, S2, 1.0)
-    return phi2 / (1.0 - ratio)
+    dp = precompute_dipole(m, sigma, epsilon_k, mu2_scaled, temperature)
+    return phi_dipole_pre(dp, m.shape[0], rho, etas)
 
 
 def association_strength(
@@ -132,6 +197,28 @@ def association_strength(
         * sigma3_kappa
         * (jnp.exp(eps / temperature) - 1.0)
     )
+
+
+def assoc_strength_tfactor(
+    i, j, temperature, sigma, kappa_ab, epsilon_k_ab, epsilon_k_aibj=None,
+):
+    """Density-independent factor of :func:`association_strength`:
+    sigma_ij^3 kappa_ij (exp(eps_ij/T) - 1) — precomputed once per solve
+    (the exp/sqrt are the expensive ops under emulated f64)."""
+    sigma3_kappa = (sigma[i] * sigma[j]) ** 1.5 * jnp.sqrt(
+        kappa_ab[i] * kappa_ab[j]
+    )
+    eps = 0.5 * (epsilon_k_ab[i] + epsilon_k_ab[j])
+    if epsilon_k_aibj is not None and i != j:
+        eps = jnp.where(epsilon_k_aibj != 0.0, epsilon_k_aibj, eps)
+    return sigma3_kappa * (jnp.exp(eps / temperature) - 1.0)
+
+
+def assoc_strength_from_tfactor(tfac, dd_ij, zeta2, zeta3_m1):
+    """Reattach the density-dependent hard-sphere contact factor to a
+    precomputed association T-factor; ``dd_ij = d_i d_j / (d_i + d_j)``."""
+    k = dd_ij * zeta2 * zeta3_m1
+    return zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * tfac
 
 
 def site_fraction_free_energy(x):

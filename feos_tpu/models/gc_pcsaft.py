@@ -30,7 +30,12 @@ from ..constants import A0, A1, A2, B0, B1, B2
 from ..ops.association import solve_cross_assoc_sym, solve_induced_assoc
 from ..ops.derivatives import pressure_set
 from ..units import MU2_FACTOR, PA_PER_KT_TO_REDUCED, REDUCED_TO_PA_PER_KT
-from .common import phi_dipole, site_fraction_free_energy
+from .common import (
+    DipolePre,
+    phi_dipole_pre,
+    precompute_dipole,
+    site_fraction_free_energy,
+)
 
 PI = np.pi
 
@@ -222,35 +227,123 @@ def assemble(
     )
 
 
-def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
-           branches=None):
-    """Reduced residual Helmholtz energy density of a gc mixture (per item).
+class GcPre(NamedTuple):
+    """Density-independent gc quantities at fixed (assembled params, T).
 
-    Semantics match reference feos_torch/gc_pcsaft.py:116-253
-    (golden-value tested over 11 molecule topologies).
+    Collapses the per-call (n, S) segment work of :func:`phi_gc` — the
+    (S,) T-dependent diameters, the m @ d^k matvecs, the bonded-pair
+    diameter factors — and the dipole/association T-factors to a one-time
+    precompute per solve (see pcsaft_mix.MixPre for the rationale)."""
 
-    ``assoc_q_form`` evaluates association as the Michelsen Q function at
-    stop-gradiented site fractions — exact values and first derivatives
-    with no implicit-function expansion under AD; used by the VLE solvers
-    (see pcsaft_mix.phi_mix for the full rationale).
-    """
-    rho = density
-    n = g.m.shape[0]
-    # universal constants cast to the working dtype (f32 solver warmup phase)
-    dtype = jnp.result_type(rho)
-    cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
-    cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
+    md0: jnp.ndarray      # (n,) total segment number
+    md1: jnp.ndarray      # (n,) m @ d
+    md2: jnp.ndarray      # (n,) m @ d^2
+    md3: jnp.ndarray      # (n,) m @ d^3
+    bonds_p: jnp.ndarray  # (n, P)
+    dd_p: jnp.ndarray     # (P,) d_a d_b / (d_a + d_b) on bonded pairs
+    e1t: jnp.ndarray      # (n, n) dispersion base / T
+    e2t: jnp.ndarray      # (n, n) squared base / T^2
+    dip: DipolePre
+    dipolar: jnp.ndarray
+    na: jnp.ndarray       # (n,)
+    nb: jnp.ndarray       # (n,)
+    is_assoc: jnp.ndarray  # (n,) sign(kappa_ab * epsilon_k_ab)
+    self_st: jnp.ndarray  # sigma_s^3 kappa (exp(eps_ab/T)-1), sanitized
+    self_d: jnp.ndarray   # associating-segment diameter, sanitized
+    cross_t: jnp.ndarray  # (n, n) pairwise T-factors (cross regime)
+    dd_cross: jnp.ndarray  # (n, n) d_i d_j/(d_i+d_j) (cross sanitization)
+    ind_t: jnp.ndarray    # (n, n) pairwise T-factors (induced regime)
+    dd_ind: jnp.ndarray   # (n, n) (induced sanitization)
+    self_m: jnp.ndarray   # bool regime masks (parameter-only)
+    cross_m: jnp.ndarray
+    induced_m: jnp.ndarray
 
+
+def _gc_assoc_tfactors(g: GcParams, temperature, mask):
+    """Pairwise association T-factors and diameter factors with the gc
+    sanitization (reference feos_torch/gc_pcsaft.py:549-564): the segment
+    diameter is recomputed from the associating segment's own
+    sigma/epsilon_k."""
+    sigma = jnp.where(mask, g.sigma_assoc, 1.0)
+    kappa = jnp.where(mask, g.kappa_ab, 1.0)
+    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k_assoc / temperature))
+    sigma3_kappa = (sigma[:, None] * sigma[None, :]) ** 1.5 * jnp.sqrt(
+        kappa[:, None] * kappa[None, :]
+    )
+    eps = 0.5 * (g.epsilon_k_ab[:, None] + g.epsilon_k_ab[None, :])
+    tfac = sigma3_kappa * (jnp.exp(eps / temperature) - 1.0)
+    dd = d[:, None] * d[None, :] / (d[:, None] + d[None, :])
+    return tfac, dd
+
+
+def precompute_gc(g: GcParams, temperature) -> GcPre:
+    """Build :class:`GcPre` (per item); plain jnp throughout so segment-
+    parameter/kab/phi/temperature gradients flow through unchanged."""
     d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / temperature))  # (S,)
 
     md0 = jnp.sum(g.m, axis=1)  # (n,)
     md1 = g.m @ d
     md2 = g.m @ (d * d)
     md3 = g.m @ (d * d * d)
+
+    da, db = d[g.bond_a], d[g.bond_b]  # (P,)
+    dd_p = da * db / (da + db)
+
+    e1t = g.e1b / temperature
+    e2t = g.e2b / (temperature * temperature)
+
+    dip = precompute_dipole(
+        g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2, temperature
+    )
+    dipolar = jnp.any(g.mu2 > 0.0)
+
+    # association regime masks (parameter-only)
+    n_assoc = jnp.count_nonzero(g.kappa_ab * g.epsilon_k_ab)
+    n_self = jnp.count_nonzero(g.na * g.nb)
+    self_m = (n_assoc == 1) & (n_self == 1)
+    cross_m = (n_assoc == 2) & (n_self == 2)
+    induced_m = (n_assoc == 2) & (n_self == 1)
+
+    is_assoc = jnp.sign(g.kappa_ab * g.epsilon_k_ab)
+    sigma_s = jnp.where(self_m, jnp.sum(g.sigma_assoc), 1.0)
+    epsk_s = jnp.sum(g.epsilon_k_assoc)
+    kappa_s = jnp.where(self_m, jnp.sum(g.kappa_ab), 1.0)
+    eps_ab_s = jnp.sum(g.epsilon_k_ab)
+    self_d = sigma_s * (1.0 - 0.12 * jnp.exp(-3.0 * epsk_s / temperature))
+    self_st = sigma_s**3 * kappa_s * (jnp.exp(eps_ab_s / temperature) - 1.0)
+
+    cross_t, dd_cross = _gc_assoc_tfactors(g, temperature, cross_m)
+    ind_t, dd_ind = _gc_assoc_tfactors(g, temperature, induced_m)
+
+    return GcPre(
+        md0=md0, md1=md1, md2=md2, md3=md3,
+        bonds_p=g.bonds_p, dd_p=dd_p, e1t=e1t, e2t=e2t,
+        dip=dip, dipolar=dipolar,
+        na=g.na, nb=g.nb, is_assoc=is_assoc,
+        self_st=self_st, self_d=self_d,
+        cross_t=cross_t, dd_cross=dd_cross,
+        ind_t=ind_t, dd_ind=dd_ind,
+        self_m=self_m, cross_m=cross_m, induced_m=induced_m,
+    )
+
+
+def phi_gc_pre(pre: GcPre, density, assoc_q_form: bool = False,
+               branches=None):
+    """Reduced residual Helmholtz energy density from precomputed rho-free
+    quantities (see :class:`GcPre`); the density-dependent half of
+    :func:`phi_gc`."""
+    rho = density
+    n = pre.md0.shape[0]
+    # universal constants cast to the working dtype (f32 solver warmup phase)
+    dtype = jnp.result_type(rho)
+    cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
+    cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
+
+    md0 = pre.md0
     zeta0 = PI / 6.0 * jnp.sum(md0 * rho)
-    zeta1 = PI / 6.0 * jnp.sum(md1 * rho)
-    zeta2 = PI / 6.0 * jnp.sum(md2 * rho)
-    zeta3 = PI / 6.0 * jnp.sum(md3 * rho)
+    zeta1 = PI / 6.0 * jnp.sum(pre.md1 * rho)
+    zeta2 = PI / 6.0 * jnp.sum(pre.md2 * rho)
+    zeta3 = PI / 6.0 * jnp.sum(pre.md3 * rho)
 
     zeta23 = zeta2 / zeta3
     zeta3_2 = zeta3 * zeta3
@@ -271,21 +364,19 @@ def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
     # feos_torch/gc_pcsaft.py:156-165): ln g is needed only where a bond
     # exists, so evaluate it on the P gathered pairs instead of (S, S)
     c = zeta2 * zeta3_m2
-    da, db = d[g.bond_a], d[g.bond_b]  # (P,)
-    dd = da * db / (da + db)
-    cdab = c * dd
+    cdab = c * pre.dd_p
     g_ab = zeta3_m1 + cdab * 3.0 - cdab * cdab * (zeta3 - 1.0) * 2.0
     ln_g = jnp.log(g_ab)
-    hc = -jnp.sum(rho[:, None] * g.bonds_p * ln_g[None, :])
+    hc = -jnp.sum(rho[:, None] * pre.bonds_p * ln_g[None, :])
 
     # dispersion over component pairs: the (S, S) segment contraction with
-    # phi correction and kab is precomputed at assembly (g.e1b/g.e2b, see
-    # :func:`assemble`); temperature reattaches as 1/T and 1/T^2
+    # phi correction and kab is precomputed at assembly (e1b/e2b, see
+    # :func:`assemble`); 1/T and 1/T^2 folded in per solve (e1t/e2t)
     x = rho / jnp.sum(rho)
     mmean = jnp.sum(x * md0)
     rho_ij = rho[:, None] * rho[None, :]  # (n, n)
-    rho1mix = jnp.sum(rho_ij * g.e1b) / temperature
-    rho2mix = jnp.sum(rho_ij * g.e2b) / (temperature * temperature)
+    rho1mix = jnp.sum(rho_ij * pre.e1t)
+    rho2mix = jnp.sum(rho_ij * pre.e2t)
 
     m1 = (mmean - 1.0) / mmean
     m2 = m1 * (mmean - 2.0) / mmean
@@ -310,41 +401,50 @@ def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
 
     if "dipole" in branches:
         # dipole on component-level mixed parameters
-        dipolar = jnp.any(g.mu2 > 0.0)
-        dip = phi_dipole(
-            g.m_mix, g.sigma_mix, g.epsilon_k_mix, g.mu2, temperature, rho, etas
-        )
-        phi = phi + jnp.where(dipolar, dip, 0.0)
+        dip = phi_dipole_pre(pre.dip, n, rho, etas)
+        phi = phi + jnp.where(pre.dipolar, dip, 0.0)
 
     # association regimes (reference feos_torch/gc_pcsaft.py:220-251)
-    n_assoc = jnp.count_nonzero(g.kappa_ab * g.epsilon_k_ab)
-    n_self = jnp.count_nonzero(g.na * g.nb)
-
     if "self" in branches:
-        self_m = (n_assoc == 1) & (n_self == 1)
         phi = phi + jnp.where(
-            self_m,
-            _phi_self_assoc(self_m, g, temperature, rho, zeta2, zeta3_m1,
-                            assoc_q_form),
+            pre.self_m,
+            _phi_self_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     if "cross" in branches:
-        cross_m = (n_assoc == 2) & (n_self == 2)
         phi = phi + jnp.where(
-            cross_m,
-            _phi_cross_assoc(cross_m, g, temperature, rho, zeta2, zeta3_m1,
-                             assoc_q_form),
+            pre.cross_m,
+            _phi_cross_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     if "induced" in branches:
-        induced_m = (n_assoc == 2) & (n_self == 1)
         phi = phi + jnp.where(
-            induced_m,
-            _phi_induced_assoc(induced_m, g, temperature, rho, zeta2,
-                               zeta3_m1, assoc_q_form),
+            pre.induced_m,
+            _phi_induced_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     return phi
+
+
+def phi_gc(g: GcParams, temperature, density, assoc_q_form: bool = False,
+           branches=None):
+    """Reduced residual Helmholtz energy density of a gc mixture (per item).
+
+    Semantics match reference feos_torch/gc_pcsaft.py:116-253
+    (golden-value tested over 11 molecule topologies).
+
+    ``assoc_q_form`` evaluates association as the Michelsen Q function at
+    stop-gradiented site fractions — exact values and first derivatives
+    with no implicit-function expansion under AD; used by the VLE solvers
+    (see pcsaft_mix.phi_mix for the full rationale).
+
+    Thin wrapper over :func:`precompute_gc` + :func:`phi_gc_pre`; hot loops
+    that evaluate many density states at one (parameters, T) call the split
+    form so the rho-free half is computed once per solve.
+    """
+    pre = precompute_gc(g, temperature)
+    return phi_gc_pre(pre, density, assoc_q_form=assoc_q_form,
+                      branches=branches)
 
 
 _ALL_BRANCHES = frozenset({"dipole", "self", "cross", "induced"})
@@ -373,45 +473,15 @@ def static_branches_gc(g: GcParams):
     return frozenset(out)
 
 
-def _assoc_strength_gc(i, j, mask, g: GcParams, temperature, zeta2, zeta3_m1):
-    """gc association strength (reference feos_torch/gc_pcsaft.py:549-564):
-    the segment diameter is recomputed from the associating segment's own
-    sigma/epsilon_k."""
-    sigma = jnp.where(mask, g.sigma_assoc, 1.0)
-    epsk = g.epsilon_k_assoc
-    kappa = jnp.where(mask, g.kappa_ab, 1.0)
-    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsk / temperature))
-    k = d[i] * d[j] / (d[i] + d[j]) * zeta2 * zeta3_m1
-    sigma3_kappa = (sigma[i] * sigma[j]) ** 1.5 * jnp.sqrt(kappa[i] * kappa[j])
-    eps = 0.5 * (g.epsilon_k_ab[i] + g.epsilon_k_ab[j])
-    return (
-        zeta3_m1
-        * (k * (2.0 * k + 3.0) + 1.0)
-        * sigma3_kappa
-        * (jnp.exp(eps / temperature) - 1.0)
-    )
-
-
-def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
-                    q_form=False):
+def _phi_self_assoc(pre: GcPre, rho, zeta2, zeta3_m1, q_form=False):
     """Single self-associating segment, closed form for nA = nB = 1
-    (reference feos_torch/gc_pcsaft.py:309-330)."""
-    sigma = jnp.where(mask, jnp.sum(g.sigma_assoc), 1.0)
-    epsk = jnp.sum(g.epsilon_k_assoc)
-    kappa = jnp.where(mask, jnp.sum(g.kappa_ab), 1.0)
-    eps_ab = jnp.sum(g.epsilon_k_ab)
-    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsk / temperature))
-    is_assoc = jnp.sign(g.kappa_ab * g.epsilon_k_ab)
-    rho_a = jnp.sum(is_assoc * rho)
+    (reference feos_torch/gc_pcsaft.py:309-330); the sanitized
+    sigma_s^3 kappa (exp(eps_ab/T)-1) factor and associating diameter are
+    precomputed (``pre.self_st`` / ``pre.self_d``)."""
+    rho_a = jnp.sum(pre.is_assoc * rho)
 
-    k = d * 0.5 * zeta2 * zeta3_m1
-    delta = (
-        zeta3_m1
-        * (k * (2.0 * k + 3.0) + 1.0)
-        * sigma**3
-        * kappa
-        * (jnp.exp(eps_ab / temperature) - 1.0)
-    )
+    k = pre.self_d * 0.5 * zeta2 * zeta3_m1
+    delta = zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * pre.self_st
     deltarho = delta * rho_a
     xa = 2.0 / (jnp.sqrt(1.0 + 4.0 * deltarho) + 1.0)
     if q_form:
@@ -421,13 +491,15 @@ def _phi_self_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
     return rho_a * (2.0 * jnp.log(xa) - xa + 1.0)
 
 
-def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
-                     q_form=False):
+def _phi_cross_assoc(pre: GcPre, rho, zeta2, zeta3_m1, q_form=False):
     """Two self-associating segments, nA = nB = 1 fixed point
-    (reference feos_torch/gc_pcsaft.py:333-380)."""
+    (reference feos_torch/gc_pcsaft.py:333-380); pairwise T-factors
+    precomputed in ``pre.cross_t``."""
+    mask = pre.cross_m
 
     def delta_rho(i, j):
-        dd = _assoc_strength_gc(i, j, mask, g, temperature, zeta2, zeta3_m1)
+        k = pre.dd_cross[i, j] * zeta2 * zeta3_m1
+        dd = zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * pre.cross_t[i, j]
         return jnp.where(mask, dd * rho[j], 0.0)
 
     d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
@@ -449,19 +521,21 @@ def _phi_cross_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
     return rho[0] * f(xa0) + rho[1] * f(xa1)
 
 
-def _phi_induced_assoc(mask, g: GcParams, temperature, rho, zeta2, zeta3_m1,
-                       q_form=False):
+def _phi_induced_assoc(pre: GcPre, rho, zeta2, zeta3_m1, q_form=False):
     """One self-associating + one induced (nA = 0) segment
-    (reference feos_torch/gc_pcsaft.py:383-441)."""
+    (reference feos_torch/gc_pcsaft.py:383-441); pairwise T-factors
+    precomputed in ``pre.ind_t``."""
+    mask = pre.induced_m
 
     def delta_rho(i, j):
-        dd = _assoc_strength_gc(i, j, mask, g, temperature, zeta2, zeta3_m1)
+        k = pre.dd_ind[i, j] * zeta2 * zeta3_m1
+        dd = zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * pre.ind_t[i, j]
         return jnp.where(mask, dd * rho[j], 0.0)
 
     d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
     d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
-    na0, na1 = g.na[0], g.na[1]
-    nb0, nb1 = g.nb[0], g.nb[1]
+    na0, na1 = pre.na[0], pre.na[1]
+    nb0, nb1 = pre.nb[0], pre.nb[1]
     if q_form:
         stop = jax.lax.stop_gradient
         args = tuple(stop(v) for v in (d00, d01, d10, d11, na0, na1, nb0, nb1))
@@ -498,6 +572,157 @@ def _vmap_gc(fn):
     return jax.vmap(fn, in_axes=(_GC_BATCH_AXES, 0, 0))
 
 
+def gc_helmholtz_energy_density(params: GcParams, temperature, density,
+                                branches=None):
+    """Batched phi over assembled gc parameters (module-level so every
+    facade instance shares one trace per shape/branch set)."""
+    return _gc_phi_jit(
+        params,
+        jnp.asarray(temperature, dtype=jnp.float64),
+        jnp.asarray(density, dtype=jnp.float64),
+        branches=branches,
+    )
+
+
+def _gc_phi_impl(params, temperature, density, branches):
+    return _vmap_gc(lambda g, t, r: phi_gc(g, t, r, branches=branches))(
+        params, temperature, density
+    )
+
+
+_gc_phi_jit = jax.jit(_gc_phi_impl, static_argnames=("branches",))
+
+
+def gc_derivatives(params: GcParams, temperature, density, branches=None):
+    """Batched (A, p~, mu_i, v_i) over assembled gc parameters."""
+    return _gc_derivatives_jit(
+        params,
+        jnp.asarray(temperature, dtype=jnp.float64),
+        jnp.asarray(density, dtype=jnp.float64),
+        branches=branches,
+    )
+
+
+def _gc_derivatives_impl(params, temperature, density, branches):
+    def per_item(g, t, rho):
+        pre = precompute_gc(g, t)
+        return pressure_set(
+            lambda r: phi_gc_pre(pre, r, branches=branches), rho
+        )
+
+    return _vmap_gc(per_item)(params, temperature, density)
+
+
+_gc_derivatives_jit = jax.jit(_gc_derivatives_impl,
+                              static_argnames=("branches",))
+
+
+def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
+                          bubble=True, branches=None):
+    """Batched gc bubble/dew pressure with stationary re-attachment.
+
+    Value from the solver's carried state, gradient from the stationary
+    identity with f32 partial molar volumes — see
+    pcsaft_mix._incipient_property for the full rationale.
+
+    ``molefracs`` may be the reference's binary (B,) x1 convention or an
+    explicit (B, n) composition matrix for n-component gc mixtures (beyond
+    the reference's binary-only native solvers, matching the homosegmented
+    model's n-component support).
+
+    Module-level (params as a pytree argument, ``bubble``/``branches``
+    static) so all facade instances share one trace per shape — the solver
+    graphs cost tens of seconds to trace+lower, and bound-method jits
+    cannot share caches.
+    """
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
+    pressure = jnp.asarray(pressure, dtype=jnp.float64)
+    n = params.m_mix.shape[1]
+    if molefracs.ndim == 1:
+        if n != 2:
+            raise ValueError(
+                "scalar molefracs are the binary x1 convention; pass a "
+                f"(B, {n}) composition matrix for {n}-component mixtures"
+            )
+        molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
+    return _gc_incipient_jit(params, temperature, molefracs, pressure,
+                             bubble=bubble, branches=branches)
+
+
+def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
+                       branches):
+    from ..solvers.vle import (
+        _states_eos, mix_vle, solve_with_identity_gradients,
+    )
+
+    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+    f32 = jnp.float32
+    br = branches
+
+    def solve_item(g, t, z, pr):
+        # rho-free precompute hoisted out of every phi instantiation in the
+        # solver loops (one per solve instead of one per Newton iteration)
+        pre = precompute_gc(g, t)
+        g32 = cast_float_fields(g, f32)
+        pre32 = precompute_gc(g32, t.astype(f32))
+        # Q-form association only in the f64 residual graph; the f32
+        # closure supplies Newton Jacobians and must stay the exact
+        # phi (see pcsaft_mix._incipient_property)
+        return mix_vle(
+            lambda r: phi_gc_pre(pre, r, assoc_q_form=True, branches=br),
+            z, pr, pre.md3,
+            incipient_is_vapor=bubble,
+            phi_fn32=lambda r: phi_gc_pre(pre32, r, branches=br),
+        )
+
+    def solve_batch(diff_args):
+        # molefracs/p_red ride in diff_args, not the closure: a traced
+        # composition or temperature makes them tracers, which must not
+        # be captured by the custom_jvp closure (see pcsaft_mix)
+        gd, td, zd, prd = diff_args
+        return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+            gd, td, zd, prd
+        )
+
+    def attach(g, t, r_inc, r_bulk):
+        pre = precompute_gc(g, t)
+        phi_fn = lambda r: phi_gc_pre(pre, r, branches=br)
+        p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
+        p_b = p_b[0]
+        mu_b = jnp.log(r_bulk) + g_b[0]
+        g32 = cast_float_fields(g, f32)
+        pre32 = precompute_gc(g32, t.astype(f32))
+        v_b = pressure_set(
+            lambda r: phi_gc_pre(pre32, r, branches=br),
+            r_bulk.astype(f32),
+        )[3].astype(jnp.float64)
+        rho_inc_t = jnp.sum(r_inc)
+        w = r_inc / rho_inc_t
+        a_inc = phi_fn(r_inc) / rho_inc_t
+        v_bulk = jnp.sum(w * v_b)
+        g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
+        return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
+
+    def ident_batch(diff_args, rho_inc, rho_bulk):
+        gd, td, _, _ = diff_args
+        return jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+            gd, td, rho_inc, rho_bulk
+        )
+
+    # value from the solver, derivatives from the stationary identity
+    # (custom_jvp: identity traced only under AD; see solvers/vle.py)
+    pt_eq, ok, _, _ = solve_with_identity_gradients(
+        solve_batch, ident_batch, (params, temperature, molefracs, p_red),
+    )
+    pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok
+
+
+_gc_incipient_jit = jax.jit(_gc_incipient_impl,
+                            static_argnames=("bubble", "branches"))
+
+
 class GcPcSaftMix:
     """Object facade mirroring reference ``GcPcSaftMix``
     (feos_torch/gc_pcsaft.py:13).  Constructor signature matches the
@@ -519,113 +744,25 @@ class GcPcSaftMix:
         )
 
     def helmholtz_energy_density(self, temperature, density):
-        br = static_branches_gc(self.params)
-        return _vmap_gc(lambda g, t, r: phi_gc(g, t, r, branches=br))(
-            self.params,
-            jnp.asarray(temperature, dtype=jnp.float64),
-            jnp.asarray(density, dtype=jnp.float64),
+        return gc_helmholtz_energy_density(
+            self.params, temperature, density,
+            branches=static_branches_gc(self.params),
         )
 
     def derivatives(self, temperature, density):
-        br = static_branches_gc(self.params)
-
-        def per_item(g, t, rho):
-            return pressure_set(lambda r: phi_gc(g, t, r, branches=br), rho)
-
-        return _vmap_gc(per_item)(
-            self.params,
-            jnp.asarray(temperature, dtype=jnp.float64),
-            jnp.asarray(density, dtype=jnp.float64),
-        )
-
-    def _incipient(self, temperature, molefracs, pressure, bubble):
-        """Value from the solver's carried state, gradient from the
-        stationary identity with f32 partial molar volumes — see
-        pcsaft_mix._incipient_property for the full rationale.
-
-        ``molefracs`` may be the reference's binary (B,) x1 convention or
-        an explicit (B, n) composition matrix for n-component gc mixtures
-        (beyond the reference's binary-only native solvers, matching the
-        homosegmented model's n-component support)."""
-        from ..solvers.vle import (
-            _states_eos, mix_vle, solve_with_identity_gradients,
-        )
-
-        temperature = jnp.asarray(temperature, dtype=jnp.float64)
-        molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
-        pressure = jnp.asarray(pressure, dtype=jnp.float64)
-        n = self.params.m_mix.shape[1]
-        if molefracs.ndim == 1:
-            if n != 2:
-                raise ValueError(
-                    "scalar molefracs are the binary x1 convention; pass a "
-                    f"(B, {n}) composition matrix for {n}-component mixtures"
-                )
-            molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
-        p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
-        f32 = jnp.float32
-        br = static_branches_gc(self.params)
-
-        def solve_item(g, t, z, pr):
-            d = g.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * g.epsilon_k / t))
-            md3 = g.m @ (d**3)
-            g32 = cast_float_fields(g, f32)
-            t32 = t.astype(f32)
-            # Q-form association only in the f64 residual graph; the f32
-            # closure supplies Newton Jacobians and must stay the exact
-            # phi (see pcsaft_mix._incipient_property)
-            return mix_vle(
-                lambda r: phi_gc(g, t, r, assoc_q_form=True, branches=br),
-                z, pr, md3,
-                incipient_is_vapor=bubble,
-                phi_fn32=lambda r: phi_gc(g32, t32, r, branches=br),
-            )
-
-        def solve_batch(diff_args):
-            # molefracs/p_red ride in diff_args, not the closure: a traced
-            # composition or temperature makes them tracers, which must not
-            # be captured by the custom_jvp closure (see pcsaft_mix)
-            gd, td, zd, prd = diff_args
-            return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-                gd, td, zd, prd
-            )
-
-        def attach(g, t, r_inc, r_bulk):
-            phi_fn = lambda r: phi_gc(g, t, r, branches=br)
-            p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
-            p_b = p_b[0]
-            mu_b = jnp.log(r_bulk) + g_b[0]
-            g32 = cast_float_fields(g, f32)
-            v_b = pressure_set(
-                lambda r: phi_gc(g32, t.astype(f32), r, branches=br),
-                r_bulk.astype(f32),
-            )[3].astype(jnp.float64)
-            rho_inc_t = jnp.sum(r_inc)
-            w = r_inc / rho_inc_t
-            a_inc = phi_fn(r_inc) / rho_inc_t
-            v_bulk = jnp.sum(w * v_b)
-            g_bulk = jnp.sum(w * (jnp.log(r_inc) - mu_b))
-            return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
-
-        def ident_batch(diff_args, rho_inc, rho_bulk):
-            gd, td, _, _ = diff_args
-            return jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-                gd, td, rho_inc, rho_bulk
-            )
-
-        # value from the solver, derivatives from the stationary identity
-        # (custom_jvp: identity traced only under AD; see solvers/vle.py)
-        pt_eq, ok, _, _ = solve_with_identity_gradients(
-            solve_batch, ident_batch,
-            (self.params, temperature, molefracs, p_red),
-        )
-        pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
-        return jnp.where(ok, pressure_out, jnp.nan), ~ok
+        return gc_derivatives(self.params, temperature, density,
+                              branches=static_branches_gc(self.params))
 
     def bubble_point(self, temperature, liquid_molefracs, pressure):
         """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490)."""
-        return self._incipient(temperature, liquid_molefracs, pressure, True)
+        return gc_incipient_property(
+            self.params, temperature, liquid_molefracs, pressure,
+            bubble=True, branches=static_branches_gc(self.params),
+        )
 
     def dew_point(self, temperature, vapor_molefracs, pressure):
         """Batched dew-point pressure (reference feos_torch/gc_pcsaft.py:492-512)."""
-        return self._incipient(temperature, vapor_molefracs, pressure, False)
+        return gc_incipient_property(
+            self.params, temperature, vapor_molefracs, pressure,
+            bubble=False, branches=static_branches_gc(self.params),
+        )

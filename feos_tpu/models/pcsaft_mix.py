@@ -38,7 +38,14 @@ from ..constants import A0, A1, A2, B0, B1, B2
 from ..ops.association import solve_cross_assoc, solve_induced_assoc
 from ..ops.derivatives import pressure_set
 from ..units import MU2_FACTOR, PA_PER_KT_TO_REDUCED, REDUCED_TO_PA_PER_KT
-from .common import association_strength, phi_dipole, site_fraction_free_energy
+from .common import (
+    DipolePre,
+    assoc_strength_from_tfactor,
+    assoc_strength_tfactor,
+    phi_dipole_pre,
+    precompute_dipole,
+    site_fraction_free_energy,
+)
 
 PI = np.pi
 
@@ -61,43 +68,140 @@ class MixParams(NamedTuple):
         return cls(*[parameters[..., i] for i in range(8)])
 
 
-def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
-            assoc_q_form: bool = False, branches=None):
-    """Reduced residual Helmholtz energy density of an n-component mixture.
+class MixPre(NamedTuple):
+    """Density-independent mixture quantities at fixed (parameters, kij, T).
 
-    Per-item scalar function (``density`` has shape (n,)); semantics match
-    reference feos_torch/pcsaft_mix.py:31-154 (golden-value tested).
-
-    With ``assoc_q_form`` the association contribution is evaluated as the
-    Michelsen Q function at stop-gradiented site fractions:
-
-        Q = sum_S rho_S (ln X_S - X_S + 1)
-            - sum_{A_i, B_j} rho_Ai rho_Bj X_Ai X_Bj Delta_ij(rho)
-
-    Q is stationary w.r.t. X at the mass-action solution and equals the
-    free energy there, so values and FIRST derivatives (mu, p~) are exact
-    while X stays a constant in the graph — no implicit-function expansion
-    under any AD transform.  Second derivatives miss the dX/drho cross
-    term, which is exactly the Jacobian-grade accuracy the VLE solvers
-    need (their roots are defined by first-order residuals); the exact
-    default form is used everywhere user-facing derivatives are taken.
+    Everything in :func:`phi_mix` that does not depend on the densities —
+    the T-dependent segment diameters, the (n, n) dispersion combining-rule
+    matrices (with 1/T and 1/T^2 folded in), the dipole coefficient block
+    and the association T-factors (each hiding exp/sqrt, expensive under
+    emulated f64) — computed ONCE per solve by :func:`precompute_mix` and
+    shared by every phi evaluation inside the Newton loops (explicit
+    hoisting; XLA's loop-invariant code motion does not reliably do this
+    through the f64-emulation expansion).
     """
+
+    m: jnp.ndarray        # (n,)
+    na: jnp.ndarray       # (n,)
+    nb: jnp.ndarray       # (n,)
+    md1: jnp.ndarray      # (n,) m * d
+    md2: jnp.ndarray      # (n,) m * d^2
+    md3: jnp.ndarray      # (n,) m * d^3
+    d: jnp.ndarray        # (n,)
+    e1: jnp.ndarray       # (n, n) m_i m_j eps_ij/T sigma_ij^3 (kij applied)
+    e2: jnp.ndarray       # (n, n) e1 * eps_ij/T
+    dip: DipolePre
+    dipolar: jnp.ndarray  # bool: any mu2 > 0
+    self_st: jnp.ndarray  # sigma_a^3 kappa (exp(eps_ab/T)-1), sanitized
+    self_da: jnp.ndarray  # associating diameter d_a, sanitized
+    cross_t: jnp.ndarray  # (n, n) T-factors with eps_AiBj override
+    ind_t: jnp.ndarray    # (n, n) plain T-factors (induced regime)
+    dd: jnp.ndarray       # (n, n) d_i d_j / (d_i + d_j)
+    self_m: jnp.ndarray   # bool regime masks (parameter-only)
+    cross_m: jnp.ndarray
+    induced_m: jnp.ndarray
+
+
+def precompute_mix(p: MixParams, kij, epsilon_k_aibj, temperature) -> MixPre:
+    """Build :class:`MixPre` (per item); all ops are plain jnp so parameter
+    and temperature gradients flow through unchanged.  The working dtype
+    follows the inputs (the solvers build an f32 instance for warmup)."""
     m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
+    n = m.shape[0]
+
+    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
+
+    # dispersion combining rules with kij; 1/T and 1/T^2 folded in
+    eps_t = jnp.sqrt(epsilon_k[:, None] * epsilon_k[None, :]) / temperature
+    offdiag = jnp.asarray(1.0 - np.eye(n), dtype=d.dtype)
+    eps_t = eps_t * (1.0 - kij * offdiag)
+    sigma_ij3 = (0.5 * (sigma[:, None] + sigma[None, :])) ** 3
+    e1 = (m[:, None] * m[None, :]) * eps_t * sigma_ij3
+    e2 = e1 * eps_t
+
+    # dipole
+    mu2 = p.mu**2 / (m * sigma**3 * epsilon_k) * MU2_FACTOR
+    dipolar = jnp.any(mu2 > 0.0)
+    mu2_scaled = sigma**3 * epsilon_k * mu2
+    dip = precompute_dipole(m, sigma, epsilon_k, mu2_scaled, temperature)
+
+    # association regime masks (parameter-only, rho-free)
+    n_assoc = jnp.count_nonzero(p.na + p.nb)
+    n_self = jnp.count_nonzero(p.na * p.nb)
+    self_m = (n_assoc == 1) & (n_self == 1)
+    cross_m = (n_assoc == 2) & (n_self == 2)
+    induced_m = (n_assoc == 2) & (n_self == 1)
+
+    # self regime: single associating component, aggregated sites
+    # (sanitized on masked lanes so sqrt/exp gradients stay finite)
+    kappa_s = jnp.where(self_m, jnp.sum(p.kappa_ab), 1.0)
+    eps_ab_s = jnp.sum(p.epsilon_k_ab)
+    na_sum = jnp.where(self_m, jnp.sum(p.na), 1.0)
+    sigma_a = jnp.where(self_m, jnp.sum(p.na * sigma) / na_sum, 1.0)
+    self_da = jnp.where(self_m, jnp.sum(p.na * d) / na_sum, 1.0)
+    self_st = (
+        sigma_a**3 * kappa_s * (jnp.exp(eps_ab_s / temperature) - 1.0)
+    )
+
+    # cross / induced regimes: pairwise T-factors
+    kappa_c = jnp.where(cross_m, p.kappa_ab, 1.0)
+    kappa_i = jnp.where(induced_m, p.kappa_ab, 1.0)
+    cross_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    assoc_strength_tfactor(
+                        i, j, temperature, sigma, kappa_c, p.epsilon_k_ab,
+                        epsilon_k_aibj=epsilon_k_aibj,
+                    )
+                    for j in range(n)
+                ]
+            )
+            for i in range(n)
+        ]
+    )
+    ind_t = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    assoc_strength_tfactor(
+                        i, j, temperature, sigma, kappa_i, p.epsilon_k_ab
+                    )
+                    for j in range(n)
+                ]
+            )
+            for i in range(n)
+        ]
+    )
+    dd = d[:, None] * d[None, :] / (d[:, None] + d[None, :])
+
+    return MixPre(
+        m=m, na=p.na, nb=p.nb,
+        md1=m * d, md2=m * d * d, md3=m * d * d * d, d=d,
+        e1=e1, e2=e2, dip=dip, dipolar=dipolar,
+        self_st=self_st, self_da=self_da,
+        cross_t=cross_t, ind_t=ind_t, dd=dd,
+        self_m=self_m, cross_m=cross_m, induced_m=induced_m,
+    )
+
+
+def phi_mix_pre(pre: MixPre, density, assoc_q_form: bool = False,
+                branches=None):
+    """Reduced residual Helmholtz energy density from precomputed rho-free
+    quantities (see :class:`MixPre`); the density-dependent half of
+    :func:`phi_mix`."""
+    m = pre.m
     rho = density
     n = m.shape[0]
-    # universal constants cast to the working dtype: the solvers run a
-    # reduced-precision (f32) warmup phase, and numpy f64 constants would
-    # silently promote everything back to f64
     dtype = jnp.result_type(rho)
     cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
     cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
 
-    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
-
+    d = pre.d
     zeta0 = PI / 6.0 * jnp.sum(m * rho)
-    zeta1 = PI / 6.0 * jnp.sum(m * rho * d)
-    zeta2 = PI / 6.0 * jnp.sum(m * rho * d * d)
-    zeta3 = PI / 6.0 * jnp.sum(m * rho * d * d * d)
+    zeta1 = PI / 6.0 * jnp.sum(pre.md1 * rho)
+    zeta2 = PI / 6.0 * jnp.sum(pre.md2 * rho)
+    zeta3 = PI / 6.0 * jnp.sum(pre.md3 * rho)
 
     zeta23 = zeta2 / zeta3
     zeta3_2 = zeta3 * zeta3
@@ -119,20 +223,12 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
     g = zeta3_m1 + d * c * 1.5 - d * d * c * c * (zeta3 - 1.0) * 0.5
     hc = -jnp.sum(rho * (m - 1.0) * jnp.log(g))
 
-    # dispersion with quadratic combining rules and kij
+    # dispersion: combining rules precomputed into (n, n) bases
     x = rho / jnp.sum(rho)
     mmean = jnp.sum(x * m)
-    rho1mix = 0.0
-    rho2mix = 0.0
-    for i in range(n):
-        for j in range(n):
-            eps_ij = jnp.sqrt(epsilon_k[i] * epsilon_k[j]) / temperature
-            if i != j:
-                eps_ij = eps_ij * (1.0 - kij)
-            sigma_ij = (0.5 * (sigma[i] + sigma[j])) ** 3
-            rhoij = rho[i] * rho[j] * (m[i] * m[j] * eps_ij * sigma_ij)
-            rho1mix = rho1mix + rhoij
-            rho2mix = rho2mix + rhoij * eps_ij
+    rho_ij = rho[:, None] * rho[None, :]
+    rho1mix = jnp.sum(rho_ij * pre.e1)
+    rho2mix = jnp.sum(rho_ij * pre.e2)
 
     m1 = (mmean - 1.0) / mmean
     m2 = m1 * (mmean - 2.0) / mmean
@@ -164,43 +260,67 @@ def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
 
     if "dipole" in branches:
         # dipole (masked lanes instead of row subsetting)
-        mu2 = p.mu**2 / (m * sigma**3 * epsilon_k) * MU2_FACTOR
-        dipolar = jnp.any(mu2 > 0.0)
-        mu2_scaled = sigma**3 * epsilon_k * mu2
-        dip = phi_dipole(m, sigma, epsilon_k, mu2_scaled, temperature, rho, etas)
-        phi = phi + jnp.where(dipolar, dip, 0.0)
+        dip = phi_dipole_pre(pre.dip, n, rho, etas)
+        phi = phi + jnp.where(pre.dipolar, dip, 0.0)
 
     # association regime dispatch (reference feos_torch/pcsaft_mix.py:117-152)
-    n_assoc = jnp.count_nonzero(p.na + p.nb)
-    n_self = jnp.count_nonzero(p.na * p.nb)
-
     if "self" in branches:
-        self_m = (n_assoc == 1) & (n_self == 1)
         phi = phi + jnp.where(
-            self_m,
-            _phi_self_assoc(self_m, p, temperature, rho, d, zeta2, zeta3_m1,
-                            assoc_q_form),
+            pre.self_m,
+            _phi_self_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     if "cross" in branches:
-        cross_m = (n_assoc == 2) & (n_self == 2)
         phi = phi + jnp.where(
-            cross_m,
-            _phi_cross_assoc(
-                cross_m, p, temperature, rho, d, zeta2, zeta3_m1,
-                epsilon_k_aibj, assoc_q_form,
-            ),
+            pre.cross_m,
+            _phi_cross_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     if "induced" in branches:
-        induced_m = (n_assoc == 2) & (n_self == 1)
         phi = phi + jnp.where(
-            induced_m,
-            _phi_induced_assoc(induced_m, p, temperature, rho, d, zeta2,
-                               zeta3_m1, assoc_q_form),
+            pre.induced_m,
+            _phi_induced_assoc(pre, rho, zeta2, zeta3_m1, assoc_q_form),
             0.0,
         )
     return phi
+
+
+def phi_mix(p: MixParams, kij, epsilon_k_aibj, temperature, density,
+            assoc_q_form: bool = False, branches=None):
+    """Reduced residual Helmholtz energy density of an n-component mixture.
+
+    Per-item scalar function (``density`` has shape (n,)); semantics match
+    reference feos_torch/pcsaft_mix.py:31-154 (golden-value tested).
+
+    With ``assoc_q_form`` the association contribution is evaluated as the
+    Michelsen Q function at stop-gradiented site fractions:
+
+        Q = sum_S rho_S (ln X_S - X_S + 1)
+            - sum_{A_i, B_j} rho_Ai rho_Bj X_Ai X_Bj Delta_ij(rho)
+
+    Q is stationary w.r.t. X at the mass-action solution and equals the
+    free energy there, so values and FIRST derivatives (mu, p~) are exact
+    while X stays a constant in the graph — no implicit-function expansion
+    under any AD transform.  Second derivatives miss the dX/drho cross
+    term, which is exactly the Jacobian-grade accuracy the VLE solvers
+    need (their roots are defined by first-order residuals); the exact
+    default form is used everywhere user-facing derivatives are taken.
+
+    Thin wrapper over :func:`precompute_mix` + :func:`phi_mix_pre`; hot
+    loops that evaluate many density states at one (parameters, T) call
+    the split form so the rho-free half is computed once per solve.  The
+    working dtype follows ``density`` (f32 solver warmup phase).
+    """
+    dtype = jnp.result_type(density)
+    p = MixParams(*(jnp.asarray(v, dtype=dtype) for v in p))
+    pre = precompute_mix(
+        p,
+        jnp.asarray(kij, dtype=dtype),
+        jnp.asarray(epsilon_k_aibj, dtype=dtype),
+        jnp.asarray(temperature, dtype=dtype),
+    )
+    return phi_mix_pre(pre, density, assoc_q_form=assoc_q_form,
+                       branches=branches)
 
 
 _ALL_BRANCHES = frozenset({"dipole", "self", "cross", "induced"})
@@ -239,29 +359,15 @@ def _q_f1(x):
     return jnp.log(x) - x + 1.0
 
 
-def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1,
-                    q_form=False):
+def _phi_self_assoc(pre: MixPre, rho, zeta2, zeta3_m1, q_form=False):
     """Single self-associating component, closed form
-    (reference feos_torch/pcsaft_mix.py:210-239)."""
-    kappa = jnp.sum(p.kappa_ab)
-    eps_ab = jnp.sum(p.epsilon_k_ab)
-    na_sum = jnp.where(mask, jnp.sum(p.na), 1.0)
-    sigma_a = jnp.sum(p.na * p.sigma) / na_sum
-    d_a = jnp.sum(p.na * d) / na_sum
-    kappa = jnp.where(mask, kappa, 1.0)
-    sigma_a = jnp.where(mask, sigma_a, 1.0)
-    d_a = jnp.where(mask, d_a, 1.0)
-
-    k = d_a * 0.5 * zeta2 * zeta3_m1
-    delta = (
-        zeta3_m1
-        * (k * (2.0 * k + 3.0) + 1.0)
-        * sigma_a**3
-        * kappa
-        * (jnp.exp(eps_ab / temperature) - 1.0)
-    )
-    rhoa = jnp.sum(p.na * rho)
-    rhob = jnp.sum(p.nb * rho)
+    (reference feos_torch/pcsaft_mix.py:210-239); the sanitized
+    sigma_a^3 kappa (exp(eps_ab/T)-1) factor and d_a are precomputed
+    (``pre.self_st`` / ``pre.self_da``)."""
+    k = pre.self_da * 0.5 * zeta2 * zeta3_m1
+    delta = zeta3_m1 * (k * (2.0 * k + 3.0) + 1.0) * pre.self_st
+    rhoa = jnp.sum(pre.na * rho)
+    rhob = jnp.sum(pre.nb * rho)
     aux = 1.0 + (rhoa - rhob) * delta
     sqrt = jnp.sqrt(aux * aux + 4.0 * rhob * delta)
     xa = 2.0 / (sqrt + 1.0 + (rhob - rhoa) * delta)
@@ -274,25 +380,21 @@ def _phi_self_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1,
     return rhoa * f(xa) + rhob * f(xb)
 
 
-def _phi_cross_assoc(
-    mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1, epsilon_k_aibj,
-    q_form=False,
-):
+def _phi_cross_assoc(pre: MixPre, rho, zeta2, zeta3_m1, q_form=False):
     """Two self-associating components, 2-unknown fixed point
-    (reference feos_torch/pcsaft_mix.py:241-321)."""
-    kappa = jnp.where(mask, p.kappa_ab, 1.0)
-    sigma = p.sigma
+    (reference feos_torch/pcsaft_mix.py:241-321); pairwise T-factors
+    (with the eps_AiBj override) precomputed in ``pre.cross_t``."""
+    mask = pre.cross_m
 
     def delta(i, j):
-        dd = association_strength(
-            i, j, temperature, sigma, kappa, p.epsilon_k_ab, d, zeta2, zeta3_m1,
-            epsilon_k_aibj=epsilon_k_aibj,
+        dd = assoc_strength_from_tfactor(
+            pre.cross_t[i, j], pre.dd[i, j], zeta2, zeta3_m1
         )
         return jnp.where(mask, dd, 0.0)
 
     d00, d01, d10, d11 = delta(0, 0), delta(0, 1), delta(1, 0), delta(1, 1)
-    rhoa = rho * p.na
-    rhob = rho * p.nb
+    rhoa = rho * pre.na
+    rhob = rho * pre.nb
     if q_form:
         stop = jax.lax.stop_gradient
         args = tuple(stop(v) for v in (d00, d01, d10, d11, rhoa[0], rhoa[1],
@@ -320,22 +422,22 @@ def _phi_cross_assoc(
     return rhoa[0] * f(xa0) + rhoa[1] * f(xa1) + rhob[0] * f(xb0) + rhob[1] * f(xb1)
 
 
-def _phi_induced_assoc(mask, p: MixParams, temperature, rho, d, zeta2, zeta3_m1,
-                       q_form=False):
+def _phi_induced_assoc(pre: MixPre, rho, zeta2, zeta3_m1, q_form=False):
     """One self-associating + one induced (nA = 0) component
-    (reference feos_torch/pcsaft_mix.py:324-393)."""
-    kappa = jnp.where(mask, p.kappa_ab, 1.0)
+    (reference feos_torch/pcsaft_mix.py:324-393); plain pairwise T-factors
+    precomputed in ``pre.ind_t``."""
+    mask = pre.induced_m
 
     def delta_rho(i, j):
-        dd = association_strength(
-            i, j, temperature, p.sigma, kappa, p.epsilon_k_ab, d, zeta2, zeta3_m1
+        dd = assoc_strength_from_tfactor(
+            pre.ind_t[i, j], pre.dd[i, j], zeta2, zeta3_m1
         )
         return jnp.where(mask, dd * rho[j], 0.0)
 
     d00, d01 = delta_rho(0, 0), delta_rho(0, 1)
     d10, d11 = delta_rho(1, 0), delta_rho(1, 1)
-    na0, na1 = p.na[0], p.na[1]
-    nb0, nb1 = p.nb[0], p.nb[1]
+    na0, na1 = pre.na[0], pre.na[1]
+    nb0, nb1 = pre.nb[0], pre.nb[1]
     if q_form:
         stop = jax.lax.stop_gradient
         args = tuple(stop(v) for v in (d00, d01, d10, d11, na0, na1, nb0, nb1))
@@ -383,12 +485,22 @@ def helmholtz_energy_density(parameters, kij, temperature, density,
     p = MixParams.from_array(parameters)
     k, e = _split_kij(kij, jnp.shape(parameters)[0])
     br = branches if branches is not None else static_branches(parameters)
-    return jax.vmap(lambda pi, ki, ei, t, r: phi_mix(pi, ki, ei, t, r,
-                                                     branches=br))(
+    return _mix_phi_jit(
         p, k, e,
         jnp.asarray(temperature, dtype=jnp.float64),
         jnp.asarray(density, dtype=jnp.float64),
+        branches=br,
     )
+
+
+def _mix_phi_impl(p, k, e, temperature, density, branches):
+    return jax.vmap(lambda pi, ki, ei, t, r: phi_mix(pi, ki, ei, t, r,
+                                                     branches=branches))(
+        p, k, e, temperature, density
+    )
+
+
+_mix_phi_jit = jax.jit(_mix_phi_impl, static_argnames=("branches",))
 
 
 def derivatives(parameters, kij, temperature, density, branches=None):
@@ -396,17 +508,26 @@ def derivatives(parameters, kij, temperature, density, branches=None):
     p = MixParams.from_array(parameters)
     k, e = _split_kij(kij, jnp.shape(parameters)[0])
     br = branches if branches is not None else static_branches(parameters)
-
-    def per_item(pi, ki, ei, t, rho):
-        return pressure_set(
-            lambda r: phi_mix(pi, ki, ei, t, r, branches=br), rho
-        )
-
-    return jax.vmap(per_item)(
+    return _mix_derivatives_jit(
         p, k, e,
         jnp.asarray(temperature, dtype=jnp.float64),
         jnp.asarray(density, dtype=jnp.float64),
+        branches=br,
     )
+
+
+def _mix_derivatives_impl(p, k, e, temperature, density, branches):
+    def per_item(pi, ki, ei, t, rho):
+        pre = precompute_mix(pi, ki, ei, t)
+        return pressure_set(
+            lambda r: phi_mix_pre(pre, r, branches=branches), rho
+        )
+
+    return jax.vmap(per_item)(p, k, e, temperature, density)
+
+
+_mix_derivatives_jit = jax.jit(_mix_derivatives_impl,
+                               static_argnames=("branches",))
 
 
 def _incipient_property(parameters, kij, temperature, molefracs, pressure,
@@ -431,14 +552,11 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     perturbation, while removing all second-order f64 graphs from the
     program (the dominant TPU compile cost; see solvers/vle.py).
     """
-    from ..solvers.vle import _states_eos, mix_vle, solve_with_identity_gradients
-
     p = MixParams.from_array(parameters)
     kv, ev = _split_kij(kij, jnp.shape(parameters)[0])
     temperature = jnp.asarray(temperature, dtype=jnp.float64)
     molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
     pressure = jnp.asarray(pressure, dtype=jnp.float64)
-    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
     # compositions: the reference's binary convention passes x1 as a (B,)
     # scalar per item (src/pcsaft.rs:155); an explicit (B, n) matrix
@@ -455,17 +573,33 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     if n != 2 and kij is not None:
         raise ValueError("kij can only be used for binary mixtures!")
 
-    f32 = jnp.float32
     # static branch specialization (see phi_mix): the regime set of a
     # concrete batch removes dead fixed-point subgraphs from every phi
     # instantiation in the solver
     br = branches if branches is not None else static_branches(parameters)
+    return _mix_incipient_jit(p, kv, ev, temperature, molefracs, pressure,
+                              bubble=bubble, branches=br)
+
+
+def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
+                        branches):
+    """Jitted solver core (module-level so all call sites — facades, tests,
+    repeated FD evaluations — share one trace per shape/branch set; the
+    solver graphs cost tens of seconds to trace+lower)."""
+    from ..solvers.vle import _states_eos, mix_vle, solve_with_identity_gradients
+
+    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+    f32 = jnp.float32
+    br = branches
 
     def solve_item(pi, ki, ei, t, z, pr):
-        d = pi.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * pi.epsilon_k / t))
-        md3 = pi.m * d**3
+        # rho-free precompute hoisted out of every phi instantiation in the
+        # solver loops (one per solve instead of one per Newton iteration)
+        pre = precompute_mix(pi, ki, ei, t)
         pi32 = MixParams(*(v.astype(f32) for v in pi))
-        ki32, ei32, t32 = ki.astype(f32), ei.astype(f32), t.astype(f32)
+        pre32 = precompute_mix(
+            pi32, ki.astype(f32), ei.astype(f32), t.astype(f32)
+        )
         # the f64 residual needs exact values and FIRST derivatives only ->
         # the Q-form association (stationary at stop-gradiented site
         # fractions) keeps implicit-function machinery out of the f64
@@ -474,11 +608,10 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
         # derivatives), and the Q form's second derivatives miss the
         # dX/drho terms — at strong association that stalls Newton.
         return mix_vle(
-            lambda r: phi_mix(pi, ki, ei, t, r, assoc_q_form=True,
-                              branches=br),
-            z, pr, md3,
+            lambda r: phi_mix_pre(pre, r, assoc_q_form=True, branches=br),
+            z, pr, pre.md3,
             incipient_is_vapor=bubble,
-            phi_fn32=lambda r: phi_mix(pi32, ki32, ei32, t32, r, branches=br),
+            phi_fn32=lambda r: phi_mix_pre(pre32, r, branches=br),
         )
 
     def solve_batch(diff_args):
@@ -491,7 +624,8 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
         return jax.vmap(solve_item)(pd, kvd, evd, td, zd, prd)
 
     def attach(pi, ki, ei, t, r_inc, r_bulk):
-        phi_fn = lambda r: phi_mix(pi, ki, ei, t, r, branches=br)
+        pre = precompute_mix(pi, ki, ei, t)
+        phi_fn = lambda r: phi_mix_pre(pre, r, branches=br)
         # first-order f64: p~_bulk and mu~_bulk
         p_b, g_b = _states_eos(phi_fn, r_bulk[None, :])
         p_b = p_b[0]
@@ -499,9 +633,11 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
         # second-order quantity (partial molar volumes) via the f32
         # parameter closure — gradient-only path, see docstring
         pi32 = MixParams(*(v.astype(f32) for v in pi))
+        pre32 = precompute_mix(
+            pi32, ki.astype(f32), ei.astype(f32), t.astype(f32)
+        )
         v_b32 = pressure_set(
-            lambda r: phi_mix(pi32, ki.astype(f32), ei.astype(f32),
-                              t.astype(f32), r, branches=br),
+            lambda r: phi_mix_pre(pre32, r, branches=br),
             r_bulk.astype(f32),
         )[3]
         v_b = v_b32.astype(jnp.float64)
@@ -524,6 +660,10 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
     return jnp.where(ok, pressure_out, jnp.nan), ~ok
+
+
+_mix_incipient_jit = jax.jit(_mix_incipient_impl,
+                             static_argnames=("bubble", "branches"))
 
 
 def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,

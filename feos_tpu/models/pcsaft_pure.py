@@ -61,28 +61,99 @@ class PureParams(NamedTuple):
         return cls(*[parameters[..., i] for i in range(8)])
 
 
-def phi_pure(p: PureParams, temperature, density):
-    """Reduced residual Helmholtz energy density phi = A/(kB T V) in A^-3.
+class PurePre(NamedTuple):
+    """Density-independent PC-SAFT quantities at fixed (parameters, T).
 
-    Per-item scalar function; hard-sphere + hard-chain + dispersion + dipole
-    + association contributions with semantics matching reference
-    feos_torch/pcsaft_pure.py:106-178 (validated against golden values
-    generated from the reference implementation, see tests/golden/).
+    Everything in :func:`phi_pure` that does not depend on the density —
+    the T-dependent segment diameter, the dispersion/dipole coefficient
+    vectors, and the association/dipole temperature factors (each hiding an
+    ``exp``/``sqrt``, expensive under the TPU's emulated f64) — computed
+    ONCE per solve by :func:`precompute_pure` and shared by every phi
+    evaluation inside the Newton loops.  XLA's while-loop invariant code
+    motion does not reliably hoist these through the f64-emulation
+    expansion (measured on the gc dispersion precompute), so the hoisting
+    is explicit.
+    """
+
+    m: jnp.ndarray        # segment number (hs, hc, C1)
+    eta_m: jnp.ndarray    # pi/6 m d^3: eta = eta_m * rho
+    c_i1: jnp.ndarray     # (7,) I1 eta-polynomial coefficients
+    c_i2: jnp.ndarray     # (7,) I2 eta-polynomial coefficients
+    me: jnp.ndarray       # m * eps/T
+    m2es3: jnp.ndarray    # m^2 (eps/T) sigma^3 (dispersion prefactor)
+    c_j1: jnp.ndarray     # (5,) dipole J1 coefficients ad + bd * eps/T
+    c_j2: jnp.ndarray     # (4,) dipole J2 coefficients
+    inv_s3: jnp.ndarray   # 1 / sigma^3
+    mu2eff: jnp.ndarray   # mu^2 reduced and T-scaled (phi2 weight)
+    delta_t: jnp.ndarray  # (exp(eps_ab/T) - 1) sigma^3 kappa_ab
+    na: jnp.ndarray
+    nb: jnp.ndarray
+
+
+def precompute_pure(p: PureParams, temperature) -> PurePre:
+    """Build :class:`PurePre` from parameters and temperature (per item).
+
+    All ops are plain jnp, so parameter/temperature gradients flow through
+    the precompute unchanged; the working dtype follows the inputs (the
+    solvers build an f32 instance for their warmup phases).
     """
     m, sigma, epsilon_k = p.m, p.sigma, p.epsilon_k
-    rho = density
-    # universal constants cast to the working dtype: the solvers run a
-    # reduced-precision (f32) warmup phase, and numpy f64 constants would
-    # silently promote everything back to f64
-    dtype = jnp.result_type(rho)
+    dtype = jnp.result_type(m, temperature)
     cA0, cA1, cA2 = (jnp.asarray(c, dtype=dtype) for c in (A0, A1, A2))
     cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
     cAD, cBD, cCD = (jnp.asarray(c, dtype=dtype) for c in (AD, BD, CD))
 
     # temperature-dependent segment diameter
     d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
+    eta_m = PI / 6.0 * m * d**3
 
-    eta = PI / 6.0 * m * rho * d**3
+    # dispersion
+    e = epsilon_k / temperature
+    s3 = sigma**3
+    m1 = (m - 1.0) / m
+    m2 = (m - 2.0) / m
+    c_i1 = m1 * (m2 * cA2 + cA1) + cA0
+    c_i2 = m1 * (m2 * cB2 + cB1) + cB0
+
+    # dipole coefficients (PCP-SAFT)
+    mu2 = p.mu**2 / (m * s3 * epsilon_k) * MU2_FACTOR
+    mu2eff = mu2 * e * s3
+    mc = jnp.clip(m, max=2.0)
+    md1 = (mc - 1.0) / mc
+    md2 = md1 * (mc - 2.0) / mc
+    ad = cAD[:, 0] + md1 * cAD[:, 1] + md2 * cAD[:, 2]
+    bd = cBD[:, 0] + md1 * cBD[:, 1] + md2 * cBD[:, 2]
+    c_j1 = ad + bd * e
+    c_j2 = cCD[:, 0] + md1 * cCD[:, 1] + md2 * cCD[:, 2]
+
+    # association temperature factor
+    delta_t = (jnp.exp(p.epsilon_k_ab / temperature) - 1.0) * s3 * p.kappa_ab
+
+    return PurePre(
+        m=jnp.asarray(m, dtype=dtype),
+        eta_m=eta_m,
+        c_i1=c_i1,
+        c_i2=c_i2,
+        me=m * e,
+        m2es3=m**2 * e * s3,
+        c_j1=c_j1,
+        c_j2=c_j2,
+        inv_s3=1.0 / s3,
+        mu2eff=mu2eff,
+        delta_t=delta_t,
+        na=jnp.asarray(p.na, dtype=dtype),
+        nb=jnp.asarray(p.nb, dtype=dtype),
+    )
+
+
+def phi_pure_pre(pre: PurePre, density):
+    """Reduced residual Helmholtz energy density from precomputed
+    rho-free quantities (see :class:`PurePre`); the density-dependent half
+    of :func:`phi_pure`."""
+    m = pre.m
+    rho = density
+
+    eta = pre.eta_m * rho
     eta2 = eta * eta
     eta3 = eta2 * eta
     eta_m1 = 1.0 / (1.0 - eta)
@@ -99,12 +170,8 @@ def phi_pure(p: PureParams, temperature, density):
     hc = -rho * (m - 1.0) * jnp.log(g)
 
     # dispersion
-    e = epsilon_k / temperature
-    s3 = sigma**3
-    m1 = (m - 1.0) / m
-    m2 = (m - 2.0) / m
-    I1 = jnp.dot(m1 * (m2 * cA2 + cA1) + cA0, etas)
-    I2 = jnp.dot(m1 * (m2 * cB2 + cB1) + cB0, etas)
+    I1 = jnp.dot(pre.c_i1, etas)
+    I2 = jnp.dot(pre.c_i2, etas)
     C1 = 1.0 / (
         1.0
         + m * (8.0 * eta - 2.0 * eta2) * eta_m2 * eta_m2
@@ -112,22 +179,15 @@ def phi_pure(p: PureParams, temperature, density):
         * (20.0 * eta - 27.0 * eta2 + 12.0 * eta2 * eta - 2.0 * eta2 * eta2)
         / ((1.0 - eta) * (1.0 - eta) * (2.0 - eta) * (2.0 - eta))
     )
-    I = 2.0 * I1 + C1 * I2 * m * e
-    disp = (-PI * rho * rho * m**2 * e * s3) * I
+    I = 2.0 * I1 + C1 * I2 * pre.me
+    disp = (-PI * rho * rho * pre.m2es3) * I
 
     # dipole (PCP-SAFT); mu is factored out of phi2/phi3 so that mu = 0 rows
     # contribute exactly zero with finite gradients (reference
     # feos_torch/pcsaft_pure.py:144-160).
-    mu2 = p.mu**2 / (m * s3 * epsilon_k) * MU2_FACTOR
-    mu2 = mu2 * e * s3
-    mc = jnp.clip(m, max=2.0)
-    md1 = (mc - 1.0) / mc
-    md2 = md1 * (mc - 2.0) / mc
-    ad = cAD[:, 0] + md1 * cAD[:, 1] + md2 * cAD[:, 2]
-    bd = cBD[:, 0] + md1 * cBD[:, 1] + md2 * cBD[:, 2]
-    J1 = jnp.dot(ad + bd * e, etas[:5])
-    J2 = jnp.dot(cCD[:, 0] + md1 * cCD[:, 1] + md2 * cCD[:, 2], etas[:4])
-    phi2 = -rho * rho * J1 / s3 * PI
+    J1 = jnp.dot(pre.c_j1, etas[:5])
+    J2 = jnp.dot(pre.c_j2, etas[:4])
+    phi2 = -rho * rho * J1 * pre.inv_s3 * PI
     # scale-safe Pade: phi2^2 mu2^2/(phi2 - phi3 mu2) = phi2 mu2^2/(1 - r mu2)
     # with the density powers of r = phi3/phi2 cancelled *analytically*:
     # r = rho (J2/J1) (4 pi / 3).  The naive form squares and cubes
@@ -135,15 +195,14 @@ def phi_pure(p: PureParams, temperature, density):
     # exponent range (~1e+-38) at dilute states and poisons the second
     # derivative with NaN/inf.
     ratio = rho * (J2 / jnp.where(J1 != 0.0, J1, 1.0)) * (4.0 / 3.0 * PI)
-    dipole = phi2 * mu2 * mu2 / (1.0 - ratio * mu2)
+    dipole = phi2 * pre.mu2eff * pre.mu2eff / (1.0 - ratio * pre.mu2eff)
 
     # association (closed-form 2-site solution; degenerates to zero when
     # kappa_ab * (exp(eps_ab/T) - 1) = 0, reference feos_torch/pcsaft_pure.py:162-176)
-    delta_assoc = (jnp.exp(p.epsilon_k_ab / temperature) - 1.0) * s3 * p.kappa_ab
     k = eta * eta_m1
-    delta = (1.0 + k * (1.5 + 0.5 * k)) * eta_m1 * delta_assoc
-    rhoa = p.na * rho
-    rhob = p.nb * rho
+    delta = (1.0 + k * (1.5 + 0.5 * k)) * eta_m1 * pre.delta_t
+    rhoa = pre.na * rho
+    rhob = pre.nb * rho
     aux = 1.0 + (rhoa - rhob) * delta
     sqrt = jnp.sqrt(aux * aux + 4.0 * rhob * delta)
     xa = 2.0 / (sqrt + 1.0 + (rhob - rhoa) * delta)
@@ -153,6 +212,25 @@ def phi_pure(p: PureParams, temperature, density):
     )
 
     return hs + hc + disp + dipole + assoc
+
+
+def phi_pure(p: PureParams, temperature, density):
+    """Reduced residual Helmholtz energy density phi = A/(kB T V) in A^-3.
+
+    Per-item scalar function; hard-sphere + hard-chain + dispersion + dipole
+    + association contributions with semantics matching reference
+    feos_torch/pcsaft_pure.py:106-178 (validated against golden values
+    generated from the reference implementation, see tests/golden/).
+
+    Thin wrapper over :func:`precompute_pure` + :func:`phi_pure_pre`; hot
+    loops that evaluate many densities at one (parameters, T) should call
+    the split form so the rho-free half is computed once.  The working
+    dtype follows ``density`` (the solvers run an f32 warmup phase).
+    """
+    dtype = jnp.result_type(density)
+    p = PureParams(*(jnp.asarray(v, dtype=dtype) for v in p))
+    pre = precompute_pure(p, jnp.asarray(temperature, dtype=dtype))
+    return phi_pure_pre(pre, density)
 
 
 def pure_derivatives(p: PureParams, temperature, density):

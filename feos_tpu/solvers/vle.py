@@ -37,7 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.pcsaft_pure import PureParams, phi_pure
+from ..models.pcsaft_pure import (
+    PureParams, PurePre, phi_pure, phi_pure_pre, precompute_pure,
+)
 from ..ops.derivatives import value_and_2derivs
 
 PI = np.pi
@@ -60,13 +62,14 @@ _RES_RTOL = 1e-6
 # ---------------------------------------------------------------------------
 
 
-def _eos_pure_multi(p: PureParams, temperature, rho):
+def _eos_pure_multi(pre: PurePre, rho):
     """(p~, dp~/drho, mu~_tot, dmu~/drho) for a vector of densities (k,).
 
-    One batched (phi, phi', phi'') graph serves all k states.
+    One batched (phi, phi', phi'') graph serves all k states; the rho-free
+    half of phi is precomputed once per solve (``pre``).
     """
     val, d1, d2 = jax.vmap(
-        lambda r: value_and_2derivs(lambda rr: phi_pure(p, temperature, rr), r)
+        lambda r: value_and_2derivs(lambda rr: phi_pure_pre(pre, rr), r)
     )(rho)
     ptilde = rho - val + rho * d1
     dptilde = 1.0 + rho * d2
@@ -85,11 +88,11 @@ def _eos_pure(p: PureParams, temperature, rho):
     return ptilde, dptilde, mu, dmu
 
 
-def _eos_pure_first(p: PureParams, temperature, rho):
+def _eos_pure_first(pre: PurePre, rho):
     """(p~, mu~_tot) only — a first-order graph (no phi'')."""
     vals, d1 = jax.vmap(
         lambda r: jax.jvp(
-            lambda rr: phi_pure(p, temperature, rr), (r,), (jnp.ones_like(r),)
+            lambda rr: phi_pure_pre(pre, rr), (r,), (jnp.ones_like(r),)
         )
     )(rho)
     ptilde = rho - vals + rho * d1
@@ -97,16 +100,16 @@ def _eos_pure_first(p: PureParams, temperature, rho):
     return ptilde, mu
 
 
-def _phi_d2_multi(p: PureParams, temperature, rho):
+def _phi_d2_multi(pre: PurePre, rho):
     """phi'' for a vector of densities (second-order graph; used in f32
     for Jacobian assembly)."""
     return jax.vmap(
-        lambda r: value_and_2derivs(lambda rr: phi_pure(p, temperature, rr), r)[2]
+        lambda r: value_and_2derivs(lambda rr: phi_pure_pre(pre, rr), r)[2]
     )(rho)
 
 
 def _npt_multi_pure(
-    p: PureParams, temperature, p_targets, rho0, branch_sign,
+    pre: PurePre, p_targets, rho0, branch_sign,
     step_tol=_STEP_TOL, res_tol=_RES_RTOL,
 ):
     """Solve k independent pure NPT problems p~(rho_k) = p_target_k in one loop.
@@ -126,8 +129,7 @@ def _npt_multi_pure(
     """
     k = p_targets.shape[0]
     dtype = p_targets.dtype
-    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
-    lr_max = jnp.log(0.74 * 6.0 / (PI * p.m * d**3))  # packing-fraction cap
+    lr_max = jnp.log(0.74 / pre.eta_m)  # packing-fraction cap
 
     def cond(state):
         _, _, it, done = state
@@ -136,7 +138,7 @@ def _npt_multi_pure(
     def body(state):
         lr, keep, it, done = state
         rho = jnp.exp(lr)
-        ptilde, dptilde, mu, _ = _eos_pure_multi(p, temperature, rho)
+        ptilde, dptilde, mu, _ = _eos_pure_multi(pre, rho)
         r = ptilde - p_targets
         dr = rho * dptilde  # d p~ / d ln rho
         newton = r / jnp.where(dr > 0.0, dr, 1.0)
@@ -176,8 +178,8 @@ def npt_density(
     the Newton iterations run in f32 followed by an f64 polish (2-3
     iterations, quadratic from ~1e-5); acceptance is always f64.
     """
-    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
-    eta_factor = PI / 6.0 * p.m * d**3
+    pre = precompute_pure(p, temperature)
+    eta_factor = pre.eta_m
     if liquid:
         rho0 = 0.5 / eta_factor
         sign = 1.0
@@ -186,10 +188,11 @@ def npt_density(
         sign = -1.0
     if mixed_precision:
         f32 = jnp.float32
-        p32 = PureParams(*(x.astype(f32) for x in p))
+        pre32 = precompute_pure(
+            PureParams(*(x.astype(f32) for x in p)), temperature.astype(f32)
+        )
         rho32, ok32, _ = _npt_multi_pure(
-            p32,
-            temperature.astype(f32),
+            pre32,
             p_target.astype(f32)[None],
             rho0.astype(f32)[None],
             jnp.full((1,), sign, dtype=f32),
@@ -198,8 +201,7 @@ def npt_density(
         )
         rho0 = jnp.where(ok32[0], rho32[0].astype(rho0.dtype), rho0)
     rho, ok, _ = _npt_multi_pure(
-        p,
-        temperature,
+        pre,
         p_target[None],
         rho0[None],
         jnp.full((1,), sign, dtype=rho0.dtype),
@@ -215,7 +217,7 @@ _ETA_GRID = np.concatenate(
 )
 
 
-def _spinodal_estimate(p: PureParams, temperature):
+def _spinodal_estimate(pre: PurePre):
     """Grid-scan estimate of the inflection state of p~(rho).
 
     Evaluates dp~/drho on a static packing-fraction grid and returns
@@ -227,11 +229,9 @@ def _spinodal_estimate(p: PureParams, temperature):
     equivalent initialization inside ``PhaseEquilibrium::pure``
     (src/pcsaft.rs:91); this grid scan is the fixed-shape TPU analogue.
     """
-    dtype = p.m.dtype
-    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
-    eta_factor = PI / 6.0 * p.m * d**3
-    rhos = jnp.asarray(_ETA_GRID, dtype=dtype) / eta_factor
-    ptildes, dptildes, _, _ = _eos_pure_multi(p, temperature, rhos)
+    dtype = pre.m.dtype
+    rhos = jnp.asarray(_ETA_GRID, dtype=dtype) / pre.eta_m
+    ptildes, dptildes, _, _ = _eos_pure_multi(pre, rhos)
     i_min = jnp.argmin(dptildes)
     supercritical = dptildes[i_min] > 0.0
     p_inf = jnp.maximum(ptildes[i_min], jnp.asarray(1e-12, dtype=dtype))
@@ -239,7 +239,7 @@ def _spinodal_estimate(p: PureParams, temperature):
     return p_inf, rho_inf, supercritical
 
 
-def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
+def _vle_init(pre: PurePre, step_tol, res_tol=_RES_RTOL):
     """Initial (ln rho_V, ln rho_L) for the pure VLE Newton.
 
     Two regimes, selected per row with fixed shapes:
@@ -251,15 +251,13 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
       start from NPT solves at the inflection pressure of the van-der-Waals
       loop (``_spinodal_estimate``).
     """
-    dtype = p.m.dtype
-    d = p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / temperature))
-    eta_factor = PI / 6.0 * p.m * d**3
-    p_inf, rho_inf, supercritical = _spinodal_estimate(p, temperature)
+    dtype = pre.m.dtype
+    eta_factor = pre.eta_m
+    p_inf, rho_inf, supercritical = _spinodal_estimate(pre)
 
     # lane 0: liquid at vanishing pressure; lane 1: liquid at p_inf
     rho_init, ok_init, mu_init = _npt_multi_pure(
-        p,
-        temperature,
+        pre,
         jnp.stack([jnp.asarray(1e-10, dtype=dtype), p_inf]),
         jnp.stack([0.5 / eta_factor, 0.5 / eta_factor]),
         jnp.array([1.0, 1.0], dtype=dtype),
@@ -276,8 +274,7 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
     p0 = jnp.where(ok_tiny, p_mu, p_inf)
 
     rho_v0, ok_v, _ = _npt_multi_pure(
-        p,
-        temperature,
+        pre,
         p0[None],
         jnp.maximum(p0, 1e-30)[None],
         jnp.full((1,), -1.0, dtype=dtype),
@@ -302,8 +299,8 @@ def _vle_init(p: PureParams, temperature, step_tol, res_tol=_RES_RTOL):
 
 
 def _vle_newton(
-    p: PureParams, temperature, lvl0, ln_inf, max_iter, step_tol, res_rtol,
-    res_abs, mu_tol, jac_params=None,
+    pre: PurePre, lvl0, ln_inf, max_iter, step_tol, res_rtol,
+    res_abs, mu_tol, jac_pre=None,
 ):
     """Damped 2x2 Newton on (ln rho_V, ln rho_L) with branch projection.
 
@@ -314,13 +311,13 @@ def _vle_newton(
     freeze at the iterate it was computed at), so acceptance needs no
     post-loop re-evaluation.
 
-    With ``jac_params`` (an f32 ``(params, temperature)`` pair) the
-    curvature phi'' comes from a second-order f32 graph while the residual
-    (pt, mu) stays first-order f64; the 1/rho ideal parts of the Jacobian
-    are assembled in f64, so the scheme stays finite even at vapor
-    densities that underflow f32.  The root is defined by the residual, so
-    Jacobian precision costs at most an extra iteration — but it removes
-    all second-order f64 content, the dominant TPU compile cost.
+    With ``jac_pre`` (an f32 :class:`PurePre`) the curvature phi'' comes
+    from a second-order f32 graph while the residual (pt, mu) stays
+    first-order f64; the 1/rho ideal parts of the Jacobian are assembled
+    in f64, so the scheme stays finite even at vapor densities that
+    underflow f32.  The root is defined by the residual, so Jacobian
+    precision costs at most an extra iteration — but it removes all
+    second-order f64 content, the dominant TPU compile cost.
 
     Returns ``(lvl, keep)`` with ``keep = [r_p, r_mu, dpt_V, dpt_L]``.
     """
@@ -332,13 +329,12 @@ def _vle_newton(
     def body(state):
         lvl, keep, it, done = state
         rho = jnp.exp(lvl)  # (2,) = [rho_V, rho_L]
-        if jac_params is None:
-            pt, dpt, mu, dmu = _eos_pure_multi(p, temperature, rho)
+        if jac_pre is None:
+            pt, dpt, mu, dmu = _eos_pure_multi(pre, rho)
         else:
-            pt, mu = _eos_pure_first(p, temperature, rho)
-            p32, t32 = jac_params
+            pt, mu = _eos_pure_first(pre, rho)
             rho32 = jnp.maximum(rho, 1e-35).astype(jnp.float32)
-            d2 = _phi_d2_multi(p32, t32, rho32).astype(lvl.dtype)
+            d2 = _phi_d2_multi(jac_pre, rho32).astype(lvl.dtype)
             dpt = 1.0 + rho * d2
             dmu = d2 + 1.0 / rho
         r1 = pt[0] - pt[1]
@@ -391,17 +387,19 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
 
     Returns ``(rho_v, rho_l, ok)``; supercritical rows are masked.
     """
+    pre = precompute_pure(p, temperature)
     if mixed_precision:
         f32 = jnp.float32
-        p32 = PureParams(*(x.astype(f32) for x in p))
-        t32 = temperature.astype(f32)
+        pre32 = precompute_pure(
+            PureParams(*(x.astype(f32) for x in p)), temperature.astype(f32)
+        )
         # f32 pressure-residual noise near the spinodal far exceeds the f64
         # acceptance ratio; the polish re-verifies everything in f64
         lvl0, ln_inf, ok_l, supercritical = _vle_init(
-            p32, t32, step_tol=1e-5, res_tol=3e-3
+            pre32, step_tol=1e-5, res_tol=3e-3
         )
         lvl0, _ = _vle_newton(
-            p32, t32, lvl0, ln_inf, max_iter=_MAX_VLE_ITER, step_tol=1e-5,
+            pre32, lvl0, ln_inf, max_iter=_MAX_VLE_ITER, step_tol=1e-5,
             res_rtol=1e-5, res_abs=1e-7, mu_tol=1e-4,
         )
         lvl0 = lvl0.astype(p.m.dtype)
@@ -413,17 +411,13 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
         # 18 iterations cover the ultra-low-psat rows, which now start
         # within ~1e-2 of the root thanks to the log-space vapor init
         polish_iter = 18
-        jac_params = None
     else:
-        lvl0, ln_inf, ok_l, supercritical = _vle_init(
-            p, temperature, step_tol=_STEP_TOL
-        )
+        lvl0, ln_inf, ok_l, supercritical = _vle_init(pre, step_tol=_STEP_TOL)
         polish_iter = _MAX_VLE_ITER
-        jac_params = None
 
     lvl, keep = _vle_newton(
-        p, temperature, lvl0, ln_inf, max_iter=polish_iter, step_tol=_STEP_TOL,
-        res_rtol=1e-9, res_abs=1e-12, mu_tol=1e-9, jac_params=jac_params,
+        pre, lvl0, ln_inf, max_iter=polish_iter, step_tol=_STEP_TOL,
+        res_rtol=1e-9, res_abs=1e-12, mu_tol=1e-9, jac_pre=None,
     )
     rho = jnp.exp(lvl)
     rho_v, rho_l = rho[0], rho[1]
