@@ -230,3 +230,97 @@ def fit_binary(
     kij_fit = theta[0]
     eps_fit = theta[1] * eps_scale if fit_eps else jnp.asarray(0.0)
     return FitResult(jnp.stack([kij_fit, eps_fit]), losses)
+
+
+def fit_gc(
+    segment_identifier,
+    parameter,
+    segment_lists,
+    bond_lists,
+    binary_segment_records,
+    temperature,
+    liquid_molefracs,
+    p_bubble,
+    phi=None,
+    steps: int = 100,
+    optimizer=None,
+    mesh=None,
+):
+    """Fit the gc binary segment parameters ``k_ab`` to bubble-point data.
+
+    The gc analogue of :func:`fit_binary`: segment parameters and molecule
+    topologies stay fixed, and the ``k_ab`` entries listed in
+    ``binary_segment_records`` (``[(seg_a, seg_b, k0), ...]`` — every listed
+    record is fitted from its ``k0`` start) are regressed against
+    experimental ``(temperature, liquid_molefracs, p_bubble)`` rows.
+    Gradients flow through the assembled dispersion bases
+    (:func:`feos_tpu.models.gc_pcsaft.assemble` keeps all parameter-derived
+    quantities in jnp) and the stationary bubble-point identity — the
+    reference exposes the same derivative path via torch
+    (feos_torch/gc_pcsaft.py:60-63 builds kab into the torch graph) but
+    leaves the training loop to the user.
+
+    ``segment_lists``/``bond_lists`` may describe a single system (length
+    1, or length n of plain segment lists); it is tiled over the data rows.
+    With ``mesh`` the data rows shard over a 1-D device mesh as in
+    :func:`fit_pure`.
+    """
+    from .models.gc_pcsaft import (
+        assemble, gc_incipient_property, static_branches_gc,
+    )
+
+    if optimizer is None:
+        optimizer = optax.adam(5e-3)
+    optimizer = optax.apply_if_finite(optimizer, max_consecutive_errors=20)
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    liquid_molefracs = jnp.asarray(liquid_molefracs, dtype=jnp.float64)
+    p_bubble = jnp.asarray(p_bubble, dtype=jnp.float64)
+    B = temperature.shape[0]
+
+    # tile a single-system topology over the data rows
+    if len(segment_lists) != B:
+        if len(segment_lists) != 1:
+            raise ValueError(
+                "segment_lists must describe one system or one per data row"
+            )
+        segment_lists = list(segment_lists) * B
+        bond_lists = list(bond_lists) * B
+    if phi is not None:
+        phi = jnp.asarray(phi, dtype=jnp.float64)
+        if phi.ndim == 1 or phi.shape[0] == 1:
+            phi = jnp.tile(phi.reshape(1, -1), (B, 1))
+
+    pairs = [(s1, s2) for s1, s2, _ in binary_segment_records]
+    theta = jnp.asarray([float(k) for _, _, k in binary_segment_records])
+
+    def build(kvals):
+        records = [(s1, s2, kvals[i]) for i, (s1, s2) in enumerate(pairs)]
+        return assemble(
+            segment_identifier, parameter, segment_lists, bond_lists,
+            records, phi,
+        )
+
+    # branches from a concrete assembly at the initial kab (kab does not
+    # change which dipole/association regimes are reachable)
+    br = static_branches_gc(build(theta))
+
+    def loss_fn(theta):
+        params = build(theta)
+        p, nans = gc_incipient_property(
+            params, temperature, liquid_molefracs, p_bubble,
+            bubble=True, branches=br,
+        )
+        return masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("batch"))
+        repl = NamedSharding(mesh, P())
+        temperature = jax.device_put(temperature, batch_sh)
+        liquid_molefracs = jax.device_put(liquid_molefracs, batch_sh)
+        p_bubble = jax.device_put(p_bubble, batch_sh)
+        theta = jax.device_put(theta, repl)
+
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps)
+    return FitResult(theta, losses)
