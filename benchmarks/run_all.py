@@ -39,13 +39,24 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _timeit(fn, *args, reps=5):
+    """Median of per-rep fully-synchronized timings.
+
+    Each rep blocks on its own output: over the remote-chip tunnel an
+    unsynchronized rep loop can overlap dispatch with execution and report
+    dispatch latency instead of step time (observed as a 256x-too-fast
+    dew-point figure in an earlier artifact).  The median discards
+    stragglers from tunnel hiccups.
+    """
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(reps):
+    times = []
+    for _ in range(max(reps, 3)):
+        t0 = time.time()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.time() - t0) / reps, out
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    times.sort()
+    return times[len(times) // 2], out
 
 
 _RESULTS = []

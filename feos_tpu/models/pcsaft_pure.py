@@ -351,6 +351,52 @@ def equilibrium_liquid_density(parameters, temperature):
     return ~ok, jnp.where(ok, rho / KMOL_M3_TO_REDUCED, jnp.nan)
 
 
+def critical_point(parameters):
+    """Batched pure-component critical point with parameter gradients.
+
+    Beyond the reference's capability set (its solvers stop below the
+    critical point; feos_torch/pcsaft_pure.py exposes no critical-point
+    API): solves dp/drho = 0, d2p/drho2 = 0 simultaneously
+    (:func:`feos_tpu.solvers.vle.pure_critical`), then re-attaches exact
+    implicit-function gradients by one symbolic Newton step on the
+    converged (ln rho_c, ln T_c) — the same detached-solver convention as
+    :func:`liquid_density`.
+
+    Returns ``(nans, T_c (K), rho_c (kmol/m^3))``.
+    """
+    from ..solvers.vle import _crit_residual, _val_and_jac, pure_critical
+
+    p = PureParams.from_array(parameters)
+    rho_c, t_c, ok = jax.vmap(pure_critical)(_stop(p))
+    # sanitize failed lanes before re-attachment (see vapor_pressure)
+    rho_c = jnp.where(ok, jax.lax.stop_gradient(rho_c), 1e-3)
+    t_c = jnp.where(ok, jax.lax.stop_gradient(t_c), 300.0)
+
+    def attach(pi, rc, tc):
+        u = jax.lax.stop_gradient(jnp.stack([jnp.log(rc), jnp.log(tc)]))
+        r = _crit_residual(pi, u)
+        # the Jacobian's parameter dependence contributes O(r) ~ 0 to the
+        # implicit-function gradient; stopping it keeps reverse-mode AD to
+        # one level over the (third-order-forward) residual instead of
+        # differentiating the fourth-order _val_and_jac graph
+        J = jax.lax.stop_gradient(
+            _val_and_jac(lambda v: _crit_residual(_stop(pi), v), u)[1]
+        )
+        det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+        du = jnp.stack(
+            [
+                (J[1, 1] * r[0] - J[0, 1] * r[1]) / det,
+                (-J[1, 0] * r[0] + J[0, 0] * r[1]) / det,
+            ]
+        )
+        return jnp.exp(u - du)
+
+    out = jax.vmap(attach)(p, rho_c, t_c)
+    t_out = jnp.where(ok, out[:, 1], jnp.nan)
+    rho_out = jnp.where(ok, out[:, 0] / KMOL_M3_TO_REDUCED, jnp.nan)
+    return ~ok, t_out, rho_out
+
+
 def _stop(p: PureParams) -> PureParams:
     return jax.tree_util.tree_map(jax.lax.stop_gradient, p)
 
@@ -392,3 +438,6 @@ class PcSaftPure:
 
     def equilibrium_liquid_density(self, temperature):
         return equilibrium_liquid_density(self.parameters, temperature)
+
+    def critical_point(self):
+        return critical_point(self.parameters)

@@ -55,6 +55,19 @@ _STEP_TOL = 3e-12
 # any genuinely unconverged state; the stationary re-attachment identities
 # make resulting property errors O(residual^2).
 _RES_RTOL = 1e-6
+# f32 phi-derivative evaluation floors (reduced densities, A^-3).  AD of
+# the composition terms (x = rho / sum(rho)) builds 1/S^k intermediates:
+# f32 FIRST derivatives overflow (inf -> NaN steps) below a total density
+# S ~ 5e-20 (1/S^2 > 3.4e38) and SECOND derivatives below S ~ 1.4e-13
+# (1/S^3).  A sub-Pa dew point has a bulk-vapor density in exactly this
+# range, so every f32 phi-derivative closure is evaluated at
+# max(rho, floor).  The induced error is O(|phi''| * floor) — orders of
+# magnitude below the f32 phase tolerances (the near-ideal vapor's phi
+# derivatives are ~0 there anyway) — and the f64 residual, which alone
+# defines accepted roots, is never floored (f64 overflows only below
+# S ~ 1e-103).
+_GRAD_RHO_FLOOR_F32 = 1e-18
+_HESS_RHO_FLOOR_F32 = 1e-11
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +467,104 @@ def pure_vle(p: PureParams, temperature, mixed_precision: bool = True):
     return rho_v, rho_l, ok
 
 
+def _phi_d2_d3(p: PureParams, temperature, rho):
+    """(phi'', phi''') at a scalar state — the criticality derivatives."""
+    one = jnp.ones_like(rho)
+
+    def d2_of(r):
+        return value_and_2derivs(lambda rr: phi_pure(p, temperature, rr), r)[2]
+
+    return jax.jvp(d2_of, (rho,), (one,))
+
+
+def _crit_residual(p: PureParams, u):
+    """Residuals of the pure critical-point conditions at u = [ln rho, ln T].
+
+    R1 = dp~/drho = 1 + rho phi''          (mechanical stability margin)
+    R2 = rho d2p~/drho2 = rho (phi'' + rho phi''')   (inflection condition)
+
+    Both are O(1) dimensionless near the solution, so one unscaled 2x2
+    Newton treats them evenly.
+    """
+    rho = jnp.exp(u[0])
+    t = jnp.exp(u[1])
+    d2, d3 = _phi_d2_d3(p, t, rho)
+    r1 = 1.0 + rho * d2
+    r2 = rho * (d2 + rho * d3)
+    return jnp.stack([r1, r2])
+
+
+_CRIT_RES_TOL = 3e-8
+
+
+def pure_critical(p: PureParams, max_iter: int = 60):
+    """Critical point (rho_c, T_c) of a pure PC-SAFT fluid (per item).
+
+    Beyond the reference's capability set (its VLE solvers stop below the
+    critical point, src/pcsaft.rs:82-103); solves dp/drho = 0 and
+    d2p/drho2 = 0 simultaneously by a damped 2x2 Newton in
+    (ln rho, ln T), initialized from the empirical corresponding-states
+    estimate T0 = eps_k (0.89 + 0.38 m) and the density of minimum
+    dp~/drho on the static eta grid at T0.
+
+    Runs straight f64 (no mixed-precision phases: this is a setup-scale
+    solve, not a hot loop).  Returns ``(rho_c, T_c, ok)``.
+    """
+    dtype = p.m.dtype
+    t0 = p.epsilon_k * (0.89 + 0.38 * p.m)
+    pre0 = precompute_pure(p, t0)
+    rhos = jnp.asarray(_ETA_GRID, dtype=dtype) / pre0.eta_m
+    _, dptildes, _, _ = _eos_pure_multi(pre0, rhos)
+    rho0 = rhos[jnp.argmin(dptildes)]
+    u0 = jnp.stack([jnp.log(rho0), jnp.log(t0)])
+
+    def cond(state):
+        _, _, it, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        u, keep, it, done = state
+        r, J = _val_and_jac(lambda v: _crit_residual(p, v), u)
+        det = J[0, 0] * J[1, 1] - J[0, 1] * J[1, 0]
+        det = jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+        du = jnp.stack(
+            [
+                (J[1, 1] * r[0] - J[0, 1] * r[1]) / det,
+                (-J[1, 0] * r[0] + J[0, 0] * r[1]) / det,
+            ]
+        )
+        converged = jnp.max(jnp.abs(r)) < _CRIT_RES_TOL
+        bad = ~jnp.all(jnp.isfinite(du))
+        step = jnp.where(bad, 0.0, jnp.clip(du, -0.2, 0.2))
+        new = u - step
+        # keep the iterate physical: eta(T) < 0.6, T within a broad band of
+        # the corresponding-states estimate
+        eta_m_new = PI / 6.0 * p.m * (
+            p.sigma * (1.0 - 0.12 * jnp.exp(-3.0 * p.epsilon_k / jnp.exp(new[1])))
+        ) ** 3
+        new = new.at[0].set(jnp.minimum(new[0], jnp.log(0.6 / eta_m_new)))
+        new = new.at[1].set(
+            jnp.clip(new[1], jnp.log(0.2 * t0), jnp.log(5.0 * t0))
+        )
+        freeze = done | converged | bad
+        u_new = jnp.where(freeze, u, new)
+        keep_new = jnp.where(done, keep, r)
+        return u_new, keep_new, it + 1, freeze
+
+    keep0 = jnp.full((2,), jnp.inf, dtype=dtype)
+    u, r, _, _ = jax.lax.while_loop(
+        cond, body, (u0, keep0, 0, jnp.array(False))
+    )
+    rho_c = jnp.exp(u[0])
+    t_c = jnp.exp(u[1])
+    ok = (
+        jnp.all(jnp.isfinite(u))
+        & (jnp.max(jnp.abs(r)) < _CRIT_RES_TOL)
+        & (precompute_pure(p, t_c).eta_m * rho_c < 0.7)
+    )
+    return rho_c, t_c, ok
+
+
 # ---------------------------------------------------------------------------
 # Mixture solvers (generic over the Helmholtz-energy-density closure)
 # ---------------------------------------------------------------------------
@@ -744,8 +855,11 @@ def _mix_newton(
         r_inc = jnp.exp(u[:n])
         r_bulk = z * jnp.exp(u[n])
         R = jnp.concatenate([r_inc[None, :], r_bulk[None, :]])
-        # clamp away exact zeros: mixture phi divides by sum(rho)
-        R32 = jnp.maximum(R, 1e-35).astype(jnp.float32)
+        # floor keeps the f32 second-derivative AD intermediates finite at
+        # low-pressure vapor states (see _HESS_RHO_FLOOR_F32); the products
+        # with the TRUE densities below keep the Jacobian exact wherever
+        # its entries are non-negligible
+        R32 = jnp.maximum(R, _HESS_RHO_FLOOR_F32).astype(jnp.float32)
         H = _states_hess(phi_fn_jac, R32).astype(dtype)
         H_inc, H_bulk = H[0], H[1]
         eye = jnp.eye(n, dtype=dtype)
@@ -844,13 +958,23 @@ def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
     if phi_fn32 is not None:
         f32 = jnp.float32
         z32 = z.astype(f32)
+        # first-derivative closure with the density floor: keeps the f32
+        # init/warmup finite at sub-Pa vapor densities (the floored
+        # components see an exactly-ideal phase, the correct limit there)
+        phi_fn32_g = lambda r: phi_fn32(
+            jnp.maximum(r, jnp.asarray(_GRAD_RHO_FLOOR_F32, dtype=r.dtype))
+        )
         u0, limits32, init_ok = _mix_init(
-            phi_fn32, z32, p0.astype(f32), md3.astype(f32),
+            phi_fn32_g, z32, p0.astype(f32), md3.astype(f32),
             incipient_is_vapor, step_tol=1e-5,
         )
+        # phi_fn_jac routes the warmup Jacobian through the Hessian
+        # assembly (floored at _HESS_RHO_FLOOR_F32): a direct jacfwd of
+        # the residual would overflow f32 below S ~ 1.4e-13
         u0, _ = _mix_newton(
-            phi_fn32, z32, u0, limits32, max_iter=_MAX_MIX_ITER,
+            phi_fn32_g, z32, u0, limits32, max_iter=_MAX_MIX_ITER,
             step_tol=1e-4, res_mu_tol=1e-4, res_p_rtol=1e-4, res_p_abs=1e-6,
+            phi_fn_jac=phi_fn32,
         )
         u0 = u0.astype(dtype)
         limits = tuple(l.astype(dtype) for l in limits32)
