@@ -30,14 +30,18 @@ class DipolePre(NamedTuple):
 
     ``pc`` has shape (n_pairs, 5) — one J2 eta-coefficient vector per
     unordered component pair (i <= j, enumerated row-major) already scaled
-    by the pair's mu^2/sigma^3/multiplicity weights; ``tc`` (n_triplets, 4)
-    is the J3 analogue over i <= j <= k; ``mu2_max`` is the normalization
-    pulled out of the accumulated sums (scale-safety, see
+    by the pair's 1/sigma^3/multiplicity weights; ``tc`` (n_triplets, 4)
+    is the J3 analogue over i <= j <= k.  The mu^2 composition weights are
+    NOT baked in: :func:`phi_dipole_pre` folds them into the density
+    weights instead (``mu2t``, the per-component mu^2 term normalized by
+    ``mu2_max``), so the accumulated pair/triplet sums stay O(1) even when
+    the dipolar species is at trace composition (scale-safety, see
     :func:`phi_dipole`).
     """
 
     pc: jnp.ndarray
     tc: jnp.ndarray
+    mu2t: jnp.ndarray
     mu2_max: jnp.ndarray
 
 
@@ -73,10 +77,7 @@ def precompute_dipole(m, sigma, epsilon_k, mu2_scaled, temperature):
             a = cAD[:, 0] + mij1 * cAD[:, 1] + mij2 * cAD[:, 2]
             b = cBD[:, 0] + mij1 * cBD[:, 1] + mij2 * cBD[:, 2]
             c = 1.0 if i == j else 2.0
-            pc.append(
-                (eps_ij_t * b + a)
-                * (mu2_term[i] * mu2_term[j] / sigma_ij_3 * c)
-            )
+            pc.append((eps_ij_t * b + a) * (c / sigma_ij_3))
 
     tc = []
     for i in range(n):
@@ -91,34 +92,46 @@ def precompute_dipole(m, sigma, epsilon_k, mu2_scaled, temperature):
                 c3 = {1: 1.0, 2: 3.0, 3: 6.0}[len({i, j, k})]
                 tc.append(
                     (cCD[:, 0] + mijk1 * cCD[:, 1] + mijk2 * cCD[:, 2])
-                    * (
-                        mu2_term[i] * mu2_term[j] * mu2_term[k]
-                        / (sigma_ij * sigma_ik * sigma_jk) * c3
-                    )
+                    * (c3 / (sigma_ij * sigma_ik * sigma_jk))
                 )
 
-    return DipolePre(pc=jnp.stack(pc), tc=jnp.stack(tc), mu2_max=mu2_max)
+    return DipolePre(
+        pc=jnp.stack(pc), tc=jnp.stack(tc), mu2t=mu2_term, mu2_max=mu2_max
+    )
 
 
 def phi_dipole_pre(dp: DipolePre, n, rho, etas):
     """Dipolar contribution from precomputed coefficients (the
     density-dependent half of :func:`phi_dipole`).  ``n`` is the static
-    component count (the pair/triplet enumeration is rebuilt from it)."""
+    component count (the pair/triplet enumeration is rebuilt from it).
+
+    The pair/triplet sums accumulate on *dipolar* composition weights
+    v = (w * mu2t) / wd with wd = sum(w * mu2t), which sum to one: the
+    sums S2h, S3h stay O(1) even when the dipolar species is at trace
+    composition.  Accumulating on plain composition weights instead makes
+    S2 ~ w_dipolar^2, and the Pade quotient's second derivative divides by
+    S2^3 ~ w^6 — which underflows f32 (and the TPU's emulated-f64 exponent
+    range) for w ~ 1e-8, freezing the f32 Newton warmup with NaN Jacobians
+    on dilute dipolar rows.  The net powers of (rho_t * wd * mu2_max)
+    reattach at the end."""
     rho_t = jnp.sum(rho)
-    w = rho / rho_t
-    w2 = jnp.stack([w[i] * w[j] for i in range(n) for j in range(i, n)])
-    w3 = jnp.stack(
+    u = (rho / rho_t) * dp.mu2t
+    wd = jnp.sum(u)
+    v = u / jnp.where(wd > 0.0, wd, 1.0)
+    v2 = jnp.stack([v[i] * v[j] for i in range(n) for j in range(i, n)])
+    v3 = jnp.stack(
         [
-            w[i] * w[j] * w[k]
+            v[i] * v[j] * v[k]
             for i in range(n)
             for j in range(i, n)
             for k in range(j, n)
         ]
     )
-    S2 = -PI * jnp.dot(w2 @ dp.pc, etas[:5])
-    S3 = -(4.0 / 3.0 * PI * PI) * jnp.dot(w3 @ dp.tc, etas[:4])
-    phi2 = rho_t * rho_t * S2 * (dp.mu2_max * dp.mu2_max)
-    ratio = rho_t * dp.mu2_max * S3 / jnp.where(S2 != 0.0, S2, 1.0)
+    S2h = -PI * jnp.dot(v2 @ dp.pc, etas[:5])
+    S3h = -(4.0 / 3.0 * PI * PI) * jnp.dot(v3 @ dp.tc, etas[:4])
+    scale = rho_t * wd * dp.mu2_max
+    phi2 = scale * scale * S2h
+    ratio = scale * S3h / jnp.where(S2h != 0.0, S2h, 1.0)
     return phi2 / (1.0 - ratio)
 
 
