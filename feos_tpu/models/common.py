@@ -25,6 +25,18 @@ from ..constants import AD, BD, CD
 PI = np.pi
 
 
+def exp_full(x):
+    """``exp`` at full emulated-f64 precision for any operand size.
+
+    The TPU plugin's emulated-f64 ``exp`` lowers scalar/size-1 operands
+    through an f32-level path (measured 2.2e-8 relative error, vs ~3e-14
+    for size>=2 operands); padding with a zero lane forces the full-
+    precision vector path.  Use at f64 call sites that are scalar per item:
+    batching via ``vmap`` also vectorizes them, but only for batch >= 2,
+    and single-row property queries are a legitimate pattern."""
+    return jnp.exp(jnp.stack([x, jnp.zeros_like(x)]))[0]
+
+
 class DipolePre(NamedTuple):
     """Density-independent dipole quantities (see :func:`precompute_dipole`).
 
@@ -208,7 +220,7 @@ def association_strength(
         zeta3_m1
         * (k * (2.0 * k + 3.0) + 1.0)
         * sigma3_kappa
-        * (jnp.exp(eps / temperature) - 1.0)
+        * (exp_full(eps / temperature) - 1.0)
     )
 
 
@@ -224,7 +236,7 @@ def assoc_strength_tfactor(
     eps = 0.5 * (epsilon_k_ab[i] + epsilon_k_ab[j])
     if epsilon_k_aibj is not None and i != j:
         eps = jnp.where(epsilon_k_aibj != 0.0, epsilon_k_aibj, eps)
-    return sigma3_kappa * (jnp.exp(eps / temperature) - 1.0)
+    return sigma3_kappa * (exp_full(eps / temperature) - 1.0)
 
 
 def assoc_strength_from_tfactor(tfac, dd_ij, zeta2, zeta3_m1):

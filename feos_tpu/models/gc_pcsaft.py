@@ -309,8 +309,13 @@ def precompute_gc(g: GcParams, temperature) -> GcPre:
     epsk_s = jnp.sum(g.epsilon_k_assoc)
     kappa_s = jnp.where(self_m, jnp.sum(g.kappa_ab), 1.0)
     eps_ab_s = jnp.sum(g.epsilon_k_ab)
-    self_d = sigma_s * (1.0 - 0.12 * jnp.exp(-3.0 * epsk_s / temperature))
-    self_st = sigma_s**3 * kappa_s * (jnp.exp(eps_ab_s / temperature) - 1.0)
+    # one size-2 exp for the two scalar Boltzmann factors (see
+    # models.common.exp_full for the TPU scalar-exp precision pitfall)
+    eb_s = jnp.exp(jnp.stack(
+        [-3.0 * epsk_s / temperature, eps_ab_s / temperature]
+    ))
+    self_d = sigma_s * (1.0 - 0.12 * eb_s[0])
+    self_st = sigma_s**3 * kappa_s * (eb_s[1] - 1.0)
 
     cross_t, dd_cross = _gc_assoc_tfactors(g, temperature, cross_m)
     ind_t, dd_ind = _gc_assoc_tfactors(g, temperature, induced_m)

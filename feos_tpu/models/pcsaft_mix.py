@@ -42,6 +42,7 @@ from .common import (
     DipolePre,
     assoc_strength_from_tfactor,
     assoc_strength_tfactor,
+    exp_full,
     phi_dipole_pre,
     precompute_dipole,
     site_fraction_free_energy,
@@ -140,7 +141,7 @@ def precompute_mix(p: MixParams, kij, epsilon_k_aibj, temperature) -> MixPre:
     sigma_a = jnp.where(self_m, jnp.sum(p.na * sigma) / na_sum, 1.0)
     self_da = jnp.where(self_m, jnp.sum(p.na * d) / na_sum, 1.0)
     self_st = (
-        sigma_a**3 * kappa_s * (jnp.exp(eps_ab_s / temperature) - 1.0)
+        sigma_a**3 * kappa_s * (exp_full(eps_ab_s / temperature) - 1.0)
     )
 
     # cross / induced regimes: pairwise T-factors

@@ -103,8 +103,14 @@ def precompute_pure(p: PureParams, temperature) -> PurePre:
     cB0, cB1, cB2 = (jnp.asarray(c, dtype=dtype) for c in (B0, B1, B2))
     cAD, cBD, cCD = (jnp.asarray(c, dtype=dtype) for c in (AD, BD, CD))
 
-    # temperature-dependent segment diameter
-    d = sigma * (1.0 - 0.12 * jnp.exp(-3.0 * epsilon_k / temperature))
+    # temperature-dependent segment diameter.  The two Boltzmann factors
+    # (diameter + association) share one size-2 exp: the TPU plugin's
+    # emulated-f64 exp computes scalar/size-1 operands at f32-level
+    # precision only (see models.common.exp_full)
+    eb = jnp.exp(jnp.stack(
+        [-3.0 * epsilon_k / temperature, p.epsilon_k_ab / temperature]
+    ))
+    d = sigma * (1.0 - 0.12 * eb[0])
     eta_m = PI / 6.0 * m * d**3
 
     # dispersion
@@ -127,7 +133,7 @@ def precompute_pure(p: PureParams, temperature) -> PurePre:
     c_j2 = cCD[:, 0] + md1 * cCD[:, 1] + md2 * cCD[:, 2]
 
     # association temperature factor
-    delta_t = (jnp.exp(p.epsilon_k_ab / temperature) - 1.0) * s3 * p.kappa_ab
+    delta_t = (eb[1] - 1.0) * s3 * p.kappa_ab
 
     return PurePre(
         m=jnp.asarray(m, dtype=dtype),
