@@ -135,7 +135,11 @@ def config3():
     """Binary bubble + dew points with kij (reference test conditions)."""
     from feos_tpu.models import pcsaft_mix as M
 
-    B = int(os.environ.get("BENCH_MIX_BATCH", 1024))
+    # throughput saturates near B=4096 on v5e: the per-batch fixed cost
+    # (tunnel dispatch + launch overhead, ~40 ms) dominates below that
+    # (measured B=1024: 16.9k bubble/s, B=4096: 20.5k, B=16384: 32.9k
+    # bubble but slower dew; 4096 is the knee for the bubble+dew pair)
+    B = int(os.environ.get("BENCH_MIX_BATCH", 4096))
     params = jnp.asarray(
         np.tile(
             [[1, 3.5, 150, 0, 0.02, 1500, 1, 1], [1, 3.5, 200, 0, 0.03, 2500, 1, 1]],
@@ -176,7 +180,9 @@ def config4():
         col(k)
         for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab", "epsilon_k_ab", "na", "nb"]
     )
-    B = int(os.environ.get("BENCH_GC_BATCH", 256))
+    # saturation knee at B=1024 (measured 256: 8.6k bubble/s, 1024:
+    # 24.7k, 4096: 24.0k — flat past 1024)
+    B = int(os.environ.get("BENCH_GC_BATCH", 1024))
     eos = GcPcSaftMix(
         ident,
         parameter,
