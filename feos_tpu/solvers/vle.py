@@ -336,11 +336,11 @@ def _vle_newton(
     """
 
     def cond(state):
-        _, _, it, done = state
+        _, _, _, _, it, done = state
         return (~done) & (it < max_iter)
 
     def body(state):
-        lvl, keep, it, done = state
+        lvl, keep, best, stale, it, done = state
         rho = jnp.exp(lvl)  # (2,) = [rho_V, rho_L]
         if jac_pre is None:
             pt, dpt, mu, dmu = _eos_pure_multi(pre, rho)
@@ -362,10 +362,23 @@ def _vle_newton(
         dl = (-j10 * r1 + j00 * r2) / det
         # exit on step size or on residuals at the acceptance level
         # (the absolute term covers the liquid-pressure cancellation noise)
-        res_ok = (
-            jnp.abs(r1) < res_rtol * jnp.abs(j00) + res_abs * jnp.abs(rho[1] * dpt[1])
-        ) & (jnp.abs(r2) < mu_tol)
-        converged = ((jnp.abs(dv) + jnp.abs(dl)) < step_tol) | res_ok
+        p_allow = res_rtol * jnp.abs(j00) + res_abs * jnp.abs(rho[1] * dpt[1])
+        res_ok = (jnp.abs(r1) < p_allow) & (jnp.abs(r2) < mu_tol)
+        # noise-floor stall detection, same scheme as _mix_newton: a row
+        # whose residual merit (in units of res_ok) stops improving for 3
+        # consecutive armed iterations is limit-cycling at the working
+        # dtype's evaluation-noise floor (measured on the north-star batch:
+        # 66/100k rows burned the full 80 f32 iterations, dragging the
+        # whole batch-synchronized loop; median row needs 2)
+        merit = jnp.maximum(jnp.abs(r1) / p_allow, jnp.abs(r2) / mu_tol)
+        improved = merit < 0.9 * best
+        armed = merit < 1e3
+        stale_new = jnp.where(
+            improved, 0, jnp.where(armed, stale + 1, stale)
+        )
+        best_new = jnp.minimum(best, merit)
+        stalled = stale_new >= 3
+        converged = ((jnp.abs(dv) + jnp.abs(dl)) < step_tol) | res_ok | stalled
         step = jnp.clip(jnp.stack([dv, dl]), -0.2, 0.2)
         bad = ~jnp.all(jnp.isfinite(step))
         step = jnp.where(bad, 0.0, step)
@@ -375,11 +388,12 @@ def _vle_newton(
         freeze = done | converged | bad
         lvl_new = jnp.where(freeze, lvl, new)
         keep_new = jnp.where(done, keep, jnp.stack([r1, r2, dpt[0], dpt[1]]))
-        return lvl_new, keep_new, it + 1, freeze
+        return lvl_new, keep_new, best_new, stale_new, it + 1, freeze
 
     keep0 = jnp.full((4,), jnp.inf, dtype=lvl0.dtype)
-    lvl, keep, _, _ = jax.lax.while_loop(
-        cond, body, (lvl0, keep0, 0, jnp.array(False))
+    inf0 = jnp.asarray(jnp.inf, dtype=lvl0.dtype)
+    lvl, keep, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (lvl0, keep0, inf0, 0, 0, jnp.array(False))
     )
     return lvl, keep
 
@@ -886,11 +900,30 @@ def _mix_newton(
         return u
 
     def cond(state):
-        _, _, it, done = state
+        _, _, _, _, it, done = state
         return (~done) & (it < max_iter)
 
+    # stall (noise-floor limit-cycle) detection: once the evaluation noise
+    # of the working dtype exceeds the requested tolerance, the Newton
+    # enters a period-2 cycle whose residual never crosses it (measured:
+    # f32 warmup cycling at |r_mu| ~ 1.6e-4 against res_mu_tol 1e-4, f64
+    # polish at the emulated-f64 floor against 1e-9) — and since the
+    # batched while_loop runs until EVERY row is done, a handful of such
+    # rows make the whole batch pay max_iter (80+30) instead of ~3+3
+    # iterations.  The merit is the residual in units of the res_ok
+    # criterion (res_ok <=> merit < 1, homogeneous in mu and pressure
+    # allowances).  A row whose merit stops improving (not below 0.9x its
+    # best) for 3 consecutive iterations while already within 1e3x of
+    # acceptance is at its noise floor: freeze it and let the acceptance
+    # (res_mu < 1e-7 with the noise-calibrated pressure allowance) judge
+    # the carried residual.  Quadratically-converging rows improve far
+    # faster than 0.9x; the gate keeps the detector disarmed during the
+    # damped far-field march, and unarmed iterations HOLD the counter
+    # (resetting it lets a cycle that straddles the gate escape).
+    stall_gate = 1e3
+
     def body(state):
-        u, out_keep, it, done = state
+        u, out_keep, best, stale, it, done = state
         if phi_fn_jac is None:
             out, J = _val_and_jac(residual_aux, u)
             Jsq = J[: n + 1]
@@ -906,21 +939,36 @@ def _mix_newton(
         r = out[: n + 1]
         step = _solve3(Jsq, r) if n == 2 else jnp.linalg.solve(Jsq, r)
         eu = jnp.exp(u)  # vector form: see residual_aux
+        p_allow = res_p_rtol * jnp.sum(eu[:n]) + res_p_abs * eu[n]
         res_ok = (jnp.max(jnp.abs(r[:n])) < res_mu_tol) & (
-            jnp.abs(r[n]) < res_p_rtol * jnp.sum(eu[:n]) + res_p_abs * eu[n]
+            jnp.abs(r[n]) < p_allow
         )
-        converged = (jnp.max(jnp.abs(step)) < step_tol) | res_ok
+        merit = jnp.maximum(
+            jnp.max(jnp.abs(r[:n])) / res_mu_tol, jnp.abs(r[n]) / p_allow
+        )
+        improved = merit < 0.9 * best
+        armed = merit < stall_gate
+        stale_new = jnp.where(
+            improved, 0, jnp.where(armed, stale + 1, stale)
+        )
+        best_new = jnp.minimum(best, merit)
+        stalled = stale_new >= 3
+        converged = (jnp.max(jnp.abs(step)) < step_tol) | res_ok | stalled
         bad = ~jnp.all(jnp.isfinite(step))
         step = jnp.where(bad, 0.0, jnp.clip(step, -0.5, 0.5))
         # converged rows freeze at THIS iterate so the carried residual
         # matches the returned u
         u_new = jnp.where(done | converged | bad, u, project(u - step))
         out_new = jnp.where(done, out_keep, out)
-        return u_new, out_new, it + 1, done | converged | bad
+        return (
+            u_new, out_new, best_new, stale_new, it + 1,
+            done | converged | bad,
+        )
 
     out0 = jnp.full((n + 4,), jnp.inf, dtype=u0.dtype)
-    u, out, _, _ = jax.lax.while_loop(
-        cond, body, (u0, out0, 0, jnp.array(False))
+    inf0 = jnp.asarray(jnp.inf, dtype=u0.dtype)
+    u, out, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (u0, out0, inf0, 0, 0, jnp.array(False))
     )
     return u, out
 
