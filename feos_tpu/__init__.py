@@ -29,6 +29,7 @@ from .models.pcsaft_pure import PcSaftPure, PureParams  # noqa: E402
 from .models.pcsaft_mix import MixParams, PcSaftMix  # noqa: E402
 from .models.gc_pcsaft import GcPcSaftMix  # noqa: E402
 from . import units  # noqa: E402
+from .properties import ResidualProperties  # noqa: E402
 
 __version__ = "0.3.0"
 
@@ -38,6 +39,7 @@ __all__ = [
     "GcPcSaftMix",
     "PureParams",
     "MixParams",
+    "ResidualProperties",
     "units",
     "__version__",
 ]

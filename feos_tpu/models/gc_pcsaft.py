@@ -758,6 +758,14 @@ class GcPcSaftMix:
         return gc_derivatives(self.params, temperature, density,
                               branches=static_branches_gc(self.params))
 
+    def residual_properties(self, temperature, density):
+        """Batched residual caloric/state property set at (T, rho_vec) —
+        see :mod:`feos_tpu.properties` (beyond the reference surface)."""
+        from ..properties import gc_properties
+
+        return gc_properties(self.params, temperature, density,
+                             branches=static_branches_gc(self.params))
+
     def bubble_point(self, temperature, liquid_molefracs, pressure):
         """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490)."""
         return gc_incipient_property(

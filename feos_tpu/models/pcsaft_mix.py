@@ -725,6 +725,14 @@ class PcSaftMix:
         return derivatives(self.parameters, self.kij, temperature, density,
                            branches=self.branches)
 
+    def residual_properties(self, temperature, density):
+        """Batched residual caloric/state property set at (T, rho_vec) —
+        see :mod:`feos_tpu.properties` (beyond the reference surface)."""
+        from ..properties import mix_properties
+
+        return mix_properties(self.parameters, self.kij, temperature, density,
+                              branches=self.branches)
+
     def bubble_point(self, temperature, liquid_molefracs, pressure):
         return bubble_point(
             self.parameters, self.kij, temperature, liquid_molefracs, pressure,

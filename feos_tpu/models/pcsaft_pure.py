@@ -436,6 +436,13 @@ class PcSaftPure:
             jnp.asarray(density, dtype=jnp.float64),
         )
 
+    def residual_properties(self, temperature, density):
+        """Batched residual caloric/state property set at (T, rho) — see
+        :mod:`feos_tpu.properties` (beyond the reference surface)."""
+        from ..properties import pure_properties
+
+        return pure_properties(self.parameters, temperature, density)
+
     def vapor_pressure(self, temperature):
         return vapor_pressure(self.parameters, temperature)
 

@@ -24,3 +24,41 @@ jax.config.update("jax_platforms", "cpu")
 # loops under vmap/jit); caching amortizes compile time across test runs.
 jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import json  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+_HERE = Path(__file__).parent
+
+
+@pytest.fixture(scope="session")
+def golden_gc_eos():
+    """(GcPcSaftMix over the 11 golden topologies, golden dict) — session
+    scoped so every test file shares one assembled parameter set and the
+    jitted graphs traced on it."""
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = json.loads((_HERE / "sauer2014_hetero.json").read_text())
+    ident = [r["identifier"] for r in segs]
+
+    def col(k):
+        return np.array([r["model_record"].get(k, 0) for r in segs])
+
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab",
+                  "epsilon_k_ab", "na", "nb"]
+    )
+    golden = json.loads((_HERE / "golden" / "gc_helmholtz.json").read_text())
+    eos = GcPcSaftMix(
+        ident,
+        parameter,
+        golden["segment_lists"],
+        golden["bond_lists"],
+        [tuple(k) for k in golden["kab_list"]],
+        np.array(golden["phi"]),
+    )
+    return eos, golden
