@@ -153,3 +153,63 @@ def test_liquid_density_matches_jax():
     np.testing.assert_allclose(
         rho_cpp / KMOL_M3_TO_REDUCED, rho_jax, rtol=1e-9
     )
+
+
+def _oracle_fd_caloric(phi_of_t, T, rho_tot, props, rtol):
+    """s_res / c_v_res from 4th-order central FD in T of an *independent
+    C++* phi implementation vs the JAX temperature-jvp property layer
+    (feos_tpu.properties).  phi_of_t maps a (B,) temperature array to the
+    oracle's reduced Helmholtz energy density."""
+    from feos_tpu.units import RGAS
+
+    h = 0.05  # K: truncation ~h^4, f64 roundoff ~1e-16 phi / h^2 — both << rtol
+    f = [phi_of_t(T + k * h) for k in (-2, -1, 0, 1, 2)]
+    phi_t = (f[0] - 8 * f[1] + 8 * f[3] - f[4]) / (12 * h)
+    phi_tt = (-f[0] + 16 * f[1] - 30 * f[2] + 16 * f[3] - f[4]) / (12 * h * h)
+    s_fd = -RGAS * (f[2] + T * phi_t) / rho_tot
+    cv_fd = -RGAS * T * (2 * phi_t + T * phi_tt) / rho_tot
+    np.testing.assert_allclose(props.s_res, s_fd, rtol=rtol)
+    np.testing.assert_allclose(props.c_v_res, cv_fd, rtol=rtol)
+
+
+def test_pure_caloric_vs_oracle_fd():
+    from feos_tpu.properties import pure_properties
+
+    params = np.tile([1.5, 3.5, 250.0, 0.0, 0.03, 1500.0, 1.0, 1.0], (3, 1))
+    T = np.array([300.0, 350.0, 400.0])
+    rho = np.array([1e-2, 8e-3, 5e-3])
+    props = pure_properties(params, jnp.asarray(T), jnp.asarray(rho))
+    _oracle_fd_caloric(
+        lambda t: cpu_backend.derivatives(params, t, rho)[0],
+        T, rho, props, rtol=1e-6,
+    )
+
+
+def test_mix_caloric_vs_oracle_fd():
+    from feos_tpu.properties import mix_properties
+
+    d = json.loads((GOLDEN / "mix_helmholtz.json").read_text())
+    params = np.array(d["params"])
+    n = len(params)
+    kij = np.array(d["kij"])
+    T = np.full(n, d["temperature"])
+    rho = np.tile(np.asarray(d["density"]), (n, 1))
+    props = mix_properties(params, kij, jnp.asarray(T), jnp.asarray(rho))
+    _oracle_fd_caloric(
+        lambda t: cpu_backend.mix_derivatives(params, kij, t, rho)[0],
+        T, rho.sum(axis=1), props, rtol=1e-5,
+    )
+
+
+def test_gc_caloric_vs_oracle_fd(golden_gc_eos):
+    from feos_tpu.properties import gc_properties
+
+    eos, golden = golden_gc_eos
+    n = len(golden["labels"])
+    T = np.full(n, golden["temperature"])
+    rho = np.tile(np.asarray(golden["density"]), (n, 1))
+    props = gc_properties(eos.params, jnp.asarray(T), jnp.asarray(rho))
+    _oracle_fd_caloric(
+        lambda t: cpu_backend.gc_derivatives(eos.params, t, rho)[0],
+        T, rho.sum(axis=1), props, rtol=1e-5,
+    )
