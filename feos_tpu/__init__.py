@@ -30,6 +30,7 @@ from .models.pcsaft_mix import MixParams, PcSaftMix  # noqa: E402
 from .models.gc_pcsaft import GcPcSaftMix  # noqa: E402
 from . import units  # noqa: E402
 from .properties import ResidualProperties  # noqa: E402
+from .diagrams import BinaryPxy, binary_pxy  # noqa: E402
 
 __version__ = "0.3.0"
 
@@ -40,6 +41,8 @@ __all__ = [
     "PureParams",
     "MixParams",
     "ResidualProperties",
+    "BinaryPxy",
+    "binary_pxy",
     "units",
     "__version__",
 ]

@@ -1,0 +1,118 @@
+"""Binary phase-diagram construction from the batched VLE solvers.
+
+Beyond the reference surface (feos-torch exposes single bubble/dew solves
+only; a user building a p-x-y diagram loops in Python): here the batch axis
+IS the composition grid, so a full isothermal diagram is ONE batched solve
+per curve — the idiomatic TPU mapping (a (N,)-row solve saturates the chip
+the same way the regression workloads do).
+
+Construction (standard): at fixed T, sweep the liquid composition grid
+x1 in (0, 1) through :func:`feos_tpu.models.pcsaft_mix.bubble_point` with
+``full_output=True``.  The bubble curve is (x1, p); the dew curve is the
+same pressures re-parameterized by the converged incipient-vapor
+composition (y1, p).  Initial pressures default to the Raoult estimate
+``x1 p_sat,1 + (1-x1) p_sat,2`` from the pure-component solver — a warm
+start that keeps the Newton iterations on the correct branch across the
+whole grid.
+
+Azeotropes and near-critical isotherms: rows whose solve fails are
+returned NaN with ``nans=True`` (the library-wide fixed-shape mask
+protocol); the surviving rows still trace the diagram.
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models import pcsaft_mix, pcsaft_pure
+
+
+class BinaryPxy(NamedTuple):
+    """Isothermal p-x-y diagram of a binary mixture.
+
+    All arrays are (N,) over the composition grid; failed rows are NaN
+    (``nans`` True).  ``x1`` parameterizes the bubble (liquid) curve and
+    ``y1`` the dew (vapor) curve at the same pressures ``p`` (Pa).
+    """
+
+    x1: jnp.ndarray
+    y1: jnp.ndarray
+    p: jnp.ndarray
+    nans: jnp.ndarray
+
+
+def _raoult_init(parameters, temperature, x1):
+    """Raoult initial pressure from the pure-component vapor pressures."""
+    pp = jnp.asarray(parameters, dtype=jnp.float64)  # (2, 8)
+    t2 = jnp.full((2,), temperature, dtype=jnp.float64)
+    nans, psat = pcsaft_pure.vapor_pressure(pp, t2)
+    psat = jnp.where(nans, 1e5, psat)
+    return x1 * psat[0] + (1.0 - x1) * psat[1]
+
+
+def binary_pxy(
+    parameters,
+    kij,
+    temperature: float,
+    n_points: int = 51,
+    x_eps: float = 1e-3,
+    pressure_init: Optional[jnp.ndarray] = None,
+) -> BinaryPxy:
+    """Isothermal p-x-y diagram of one binary mixture.
+
+    ``parameters`` is a single (2, 8) parameter matrix (the per-item layout
+    of the batched solvers); ``kij`` is ``None`` or ``[k_ij, eps_AiBj]``.
+    The composition grid is ``n_points`` values of x1 in
+    ``[x_eps, 1 - x_eps]`` (the open interval: the endpoints are the pure
+    components, where the incipient composition is degenerate).
+
+    Returns a :class:`BinaryPxy`; gradients of ``p`` w.r.t. the EOS
+    parameters flow through the stationary re-attachment identity exactly
+    as for single bubble-point solves.
+    """
+    pp = jnp.asarray(parameters, dtype=jnp.float64)
+    if pp.shape != (2, 8):
+        raise ValueError(f"parameters must be (2, 8), got {pp.shape}")
+    x1 = jnp.linspace(x_eps, 1.0 - x_eps, n_points, dtype=jnp.float64)
+    batch = jnp.broadcast_to(pp, (n_points, 2, 8))
+    kb = None
+    if kij is not None:
+        kb = jnp.broadcast_to(
+            jnp.asarray(kij, dtype=jnp.float64), (n_points, 2)
+        )
+    T = jnp.full((n_points,), temperature, dtype=jnp.float64)
+    if pressure_init is None:
+        pressure_init = _raoult_init(pp, temperature, x1)
+    else:
+        pressure_init = jnp.broadcast_to(
+            jnp.asarray(pressure_init, dtype=jnp.float64), (n_points,)
+        )
+    p, nans, y = pcsaft_mix.bubble_point(
+        batch, kb, T, x1, pressure_init, full_output=True
+    )
+    return BinaryPxy(x1=x1, y1=y[:, 0], p=p, nans=nans)
+
+
+def gc_binary_pxy(
+    eos,
+    temperature: float,
+    n_points: int = 51,
+    x_eps: float = 1e-3,
+    pressure_init=1e5,
+) -> BinaryPxy:
+    """Isothermal p-x-y diagram for a gc-PC-SAFT binary.
+
+    ``eos`` is a :class:`feos_tpu.models.gc_pcsaft.GcPcSaftMix` whose batch
+    dimension holds ``n_points`` copies of the same binary (gc parameters
+    are assembled per batch row at trace time, so the facade instance must
+    be built on the replicated batch — see ``tests/test_diagrams.py``).
+    ``pressure_init`` is a scalar or (N,) warm start in Pa.
+    """
+    x1 = jnp.linspace(x_eps, 1.0 - x_eps, n_points, dtype=jnp.float64)
+    T = jnp.full((n_points,), temperature, dtype=jnp.float64)
+    p0 = jnp.broadcast_to(
+        jnp.asarray(pressure_init, dtype=jnp.float64), (n_points,)
+    )
+    p, nans, y = eos.bubble_point(T, x1, p0, full_output=True)
+    return BinaryPxy(x1=x1, y1=y[:, 0], p=p, nans=nans)

@@ -623,7 +623,7 @@ _gc_derivatives_jit = jax.jit(_gc_derivatives_impl,
 
 
 def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
-                          bubble=True, branches=None):
+                          bubble=True, branches=None, full_output=False):
     """Batched gc bubble/dew pressure with stationary re-attachment.
 
     Value from the solver's carried state, gradient from the stationary
@@ -651,8 +651,12 @@ def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
                 f"(B, {n}) composition matrix for {n}-component mixtures"
             )
         molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
-    return _gc_incipient_jit(params, temperature, molefracs, pressure,
-                             bubble=bubble, branches=branches)
+    p_out, nans, y_inc = _gc_incipient_jit(
+        params, temperature, molefracs, pressure, bubble=bubble,
+        branches=branches)
+    if full_output:
+        return p_out, nans, y_inc
+    return p_out, nans
 
 
 def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
@@ -717,11 +721,14 @@ def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
 
     # value from the solver, derivatives from the stationary identity
     # (custom_jvp: identity traced only under AD; see solvers/vle.py)
-    pt_eq, ok, _, _ = solve_with_identity_gradients(
+    pt_eq, ok, rho_inc, _ = solve_with_identity_gradients(
         solve_batch, ident_batch, (params, temperature, molefracs, p_red),
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
-    return jnp.where(ok, pressure_out, jnp.nan), ~ok
+    # incipient-phase composition (zero-gradient; see pcsaft_mix)
+    y_inc = rho_inc / jnp.sum(rho_inc, axis=1, keepdims=True)
+    y_inc = jnp.where(ok[:, None], y_inc, jnp.nan)
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc
 
 
 _gc_incipient_jit = jax.jit(_gc_incipient_impl,
@@ -766,16 +773,23 @@ class GcPcSaftMix:
         return gc_properties(self.params, temperature, density,
                              branches=static_branches_gc(self.params))
 
-    def bubble_point(self, temperature, liquid_molefracs, pressure):
-        """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490)."""
+    def bubble_point(self, temperature, liquid_molefracs, pressure,
+                     full_output=False):
+        """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490).
+
+        ``full_output=True`` additionally returns the incipient-vapor
+        composition (B, n); see pcsaft_mix.bubble_point."""
         return gc_incipient_property(
             self.params, temperature, liquid_molefracs, pressure,
             bubble=True, branches=static_branches_gc(self.params),
+            full_output=full_output,
         )
 
-    def dew_point(self, temperature, vapor_molefracs, pressure):
+    def dew_point(self, temperature, vapor_molefracs, pressure,
+                  full_output=False):
         """Batched dew-point pressure (reference feos_torch/gc_pcsaft.py:492-512)."""
         return gc_incipient_property(
             self.params, temperature, vapor_molefracs, pressure,
             bubble=False, branches=static_branches_gc(self.params),
+            full_output=full_output,
         )

@@ -532,7 +532,7 @@ _mix_derivatives_jit = jax.jit(_mix_derivatives_impl,
 
 
 def _incipient_property(parameters, kij, temperature, molefracs, pressure,
-                        bubble, branches=None):
+                        bubble, branches=None, full_output=False):
     """Shared bubble/dew implementation with stationary re-attachment.
 
     Solve (stop-gradient) for the coexisting partial densities, then
@@ -578,8 +578,12 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     # concrete batch removes dead fixed-point subgraphs from every phi
     # instantiation in the solver
     br = branches if branches is not None else static_branches(parameters)
-    return _mix_incipient_jit(p, kv, ev, temperature, molefracs, pressure,
-                              bubble=bubble, branches=br)
+    p_out, nans, y_inc = _mix_incipient_jit(
+        p, kv, ev, temperature, molefracs, pressure, bubble=bubble,
+        branches=br)
+    if full_output:
+        return p_out, nans, y_inc
+    return p_out, nans
 
 
 def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
@@ -656,11 +660,16 @@ def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
     # value from the solver's carried state, derivatives from the
     # stationary identity — the identity graph is traced only under AD
     # (jax.custom_jvp; see solve_with_identity_gradients)
-    pt_eq, ok, _, _ = solve_with_identity_gradients(
+    pt_eq, ok, rho_inc, _ = solve_with_identity_gradients(
         solve_batch, ident_batch, (p, kv, ev, temperature, molefracs, p_red)
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
-    return jnp.where(ok, pressure_out, jnp.nan), ~ok
+    # incipient-phase composition from the converged partial densities.
+    # Gradients through it are the (correct) zero of the detached-solver
+    # convention — the re-attachment identity covers the pressure only.
+    y_inc = rho_inc / jnp.sum(rho_inc, axis=1, keepdims=True)
+    y_inc = jnp.where(ok[:, None], y_inc, jnp.nan)
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc
 
 
 _mix_incipient_jit = jax.jit(_mix_incipient_impl,
@@ -668,7 +677,7 @@ _mix_incipient_jit = jax.jit(_mix_incipient_impl,
 
 
 def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
-                 branches=None):
+                 branches=None, full_output=False):
     """Batched bubble-point pressure (Pa) with parameter gradients.
 
     Replaces reference ``PcSaftMix.bubble_point``
@@ -682,19 +691,28 @@ def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
     phi-branch set (see :func:`static_branches`): pass it when jitting
     this function directly, or use the :class:`PcSaftMix` facade which
     derives it from the concrete parameters.
+
+    ``full_output=True`` additionally returns the converged incipient-phase
+    (vapor) composition ``y`` (B, n) — NaN on failed rows, zero parameter
+    gradient per the detached-solver convention (beyond the reference,
+    which discards the vapor composition its solver computes).
     """
     return _incipient_property(
         parameters, kij, temperature, liquid_molefracs, pressure,
-        bubble=True, branches=branches,
+        bubble=True, branches=branches, full_output=full_output,
     )
 
 
 def dew_point(parameters, kij, temperature, vapor_molefracs, pressure,
-              branches=None):
-    """Batched dew-point pressure (Pa); reference feos_torch/pcsaft_mix.py:446-468."""
+              branches=None, full_output=False):
+    """Batched dew-point pressure (Pa); reference feos_torch/pcsaft_mix.py:446-468.
+
+    ``full_output=True`` additionally returns the incipient-phase (liquid)
+    composition ``x`` (B, n); see :func:`bubble_point`.
+    """
     return _incipient_property(
         parameters, kij, temperature, vapor_molefracs, pressure,
-        bubble=False, branches=branches,
+        bubble=False, branches=branches, full_output=full_output,
     )
 
 
@@ -733,14 +751,16 @@ class PcSaftMix:
         return mix_properties(self.parameters, self.kij, temperature, density,
                               branches=self.branches)
 
-    def bubble_point(self, temperature, liquid_molefracs, pressure):
+    def bubble_point(self, temperature, liquid_molefracs, pressure,
+                     full_output=False):
         return bubble_point(
             self.parameters, self.kij, temperature, liquid_molefracs, pressure,
-            branches=self.branches,
+            branches=self.branches, full_output=full_output,
         )
 
-    def dew_point(self, temperature, vapor_molefracs, pressure):
+    def dew_point(self, temperature, vapor_molefracs, pressure,
+                  full_output=False):
         return dew_point(
             self.parameters, self.kij, temperature, vapor_molefracs, pressure,
-            branches=self.branches,
+            branches=self.branches, full_output=full_output,
         )
