@@ -78,9 +78,19 @@ def binary_pxy(
     batch = jnp.broadcast_to(pp, (n_points, 2, 8))
     kb = None
     if kij is not None:
-        kb = jnp.broadcast_to(
-            jnp.asarray(kij, dtype=jnp.float64), (n_points, 2)
-        )
+        k = jnp.asarray(kij, dtype=jnp.float64)
+        if k.ndim == 0 or k.shape == (1,):
+            # scalar k_ij: pad with eps_AiBj = 0 (the reference's "no
+            # override" sentinel, src/pcsaft.rs:163) — broadcasting a
+            # scalar to (2,) would silently activate an induced
+            # association epsilon equal to k_ij
+            k = jnp.stack([k.reshape(()), jnp.zeros((), jnp.float64)])
+        elif k.shape != (2,):
+            raise ValueError(
+                "kij must be a scalar k_ij or the pair [k_ij, eps_AiBj], "
+                f"got shape {k.shape}"
+            )
+        kb = jnp.broadcast_to(k, (n_points, 2))
     T = jnp.full((n_points,), temperature, dtype=jnp.float64)
     if pressure_init is None:
         pressure_init = _raoult_init(pp, temperature, x1)
@@ -109,6 +119,16 @@ def gc_binary_pxy(
     be built on the replicated batch — see ``tests/test_diagrams.py``).
     ``pressure_init`` is a scalar or (N,) warm start in Pa.
     """
+    B = int(eos.params.m_mix.shape[0])
+    if B != n_points:
+        raise ValueError(
+            f"eos batch dimension ({B}) must equal n_points ({n_points}): "
+            "gc parameters are assembled per batch row, so build the facade "
+            "on n_points replicas of the binary (see tests/test_diagrams.py)"
+        )
+    n_comp = int(eos.params.m_mix.shape[1])
+    if n_comp != 2:
+        raise ValueError(f"gc_binary_pxy needs a binary, got {n_comp} components")
     x1 = jnp.linspace(x_eps, 1.0 - x_eps, n_points, dtype=jnp.float64)
     T = jnp.full((n_points,), temperature, dtype=jnp.float64)
     p0 = jnp.broadcast_to(

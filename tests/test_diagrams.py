@@ -8,10 +8,14 @@ x — because both parameterize one coexistence point.  Agreement is limited
 only by the two solves' acceptance tolerances.
 """
 
+import json
+from pathlib import Path
+
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from feos_tpu.diagrams import binary_pxy
+from feos_tpu.diagrams import binary_pxy, gc_binary_pxy
 from feos_tpu.models import pcsaft_mix, pcsaft_pure
 
 # propane / n-butane (Gross & Sadowski 2001), comfortably subcritical at 300 K
@@ -36,12 +40,59 @@ def test_binary_pxy_shape_and_bounds():
     lo, hi = psat.min(), psat.max()
     p = np.asarray(d.p)
     assert np.all(p > 0.99 * lo) and np.all(p < 1.01 * hi)
-    # the light component (higher psat: methane) enriches the vapor
+    # the light component (higher psat: propane) enriches the vapor
     light = int(np.argmax(psat))
     if light == 0:
         assert np.all(np.asarray(d.y1) > np.asarray(d.x1))
     else:
         assert np.all(np.asarray(d.y1) < np.asarray(d.x1))
+
+
+def test_binary_pxy_scalar_kij():
+    """A scalar kij means [k_ij, eps_AiBj=0] — it must NOT be broadcast
+    into the eps_AiBj column (which would activate an induced-association
+    override the user never asked for)."""
+    d_scalar = binary_pxy(PARAMS, 0.02, T, n_points=N)
+    d_pair = binary_pxy(PARAMS, [0.02, 0.0], T, n_points=N)
+    np.testing.assert_array_equal(np.asarray(d_scalar.p), np.asarray(d_pair.p))
+    with pytest.raises(ValueError, match="k_ij"):
+        binary_pxy(PARAMS, [0.02, 0.0, 1.0], T, n_points=N)
+
+
+def test_gc_binary_pxy():
+    """gc facade over the replicated-batch construction: the batch axis IS
+    the composition grid (one facade instance per diagram)."""
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = json.loads(
+        (Path(__file__).parent / "sauer2014_hetero.json").read_text()
+    )
+    ident = [r["identifier"] for r in segs]
+    col = lambda k: np.array([r["model_record"].get(k, 0) for r in segs])
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab",
+                  "epsilon_k_ab", "na", "nb"]
+    )
+    # n-butane / propane, replicated N times
+    eos = GcPcSaftMix(
+        ident,
+        parameter,
+        [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * N,
+        [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * N,
+        [],
+        None,
+    )
+    d = gc_binary_pxy(eos, 300.0, n_points=N)
+    assert d.x1.shape == d.y1.shape == d.p.shape == d.nans.shape == (N,)
+    assert not np.any(np.asarray(d.nans))
+    # x1 is the n-butane (heavy) fraction: the vapor is butane-lean
+    assert np.all(np.asarray(d.y1) < np.asarray(d.x1))
+    # bubble pressure decreases monotonically with the heavy fraction
+    assert np.all(np.diff(np.asarray(d.p)) < 0.0)
+    # batch-size mismatch must fail with a clear message, not a shape error
+    with pytest.raises(ValueError, match="batch dimension"):
+        gc_binary_pxy(eos, 300.0, n_points=N + 1)
 
 
 def test_bubble_dew_round_trip():
