@@ -263,15 +263,19 @@ bool vle(const Par& p, double T, double* rho_v, double* rho_l) {
         if (std::abs(det) < 1e-300) det = 1e-300;
         double dv = (j11 * r1 - j01 * r2) / det;
         double dl = (-j10 * r1 + j00 * r2) / det;
+        if (!std::isfinite(dv) || !std::isfinite(dl)) return false;
+        // step FIRST, then exit: applying the final Newton step from a
+        // residual-accepted point costs nothing and lands the densities at
+        // the f64 noise floor (quadratic convergence), which is what puts
+        // two independent implementations within ~1e-13 of each other
+        lv = std::min(lv - std::clamp(dv, -0.2, 0.2), ln_inf);
+        ll = std::max(ll - std::clamp(dl, -0.2, 0.2), ln_inf);
         if ((std::abs(r1) < 1e-9 * std::abs(j00) + 1e-13 * std::abs(rl * ol.dpt) &&
              std::abs(r2) < 1e-9) ||
             std::abs(dv) + std::abs(dl) < 1e-13) {
             conv = true;
             break;
         }
-        if (!std::isfinite(dv) || !std::isfinite(dl)) return false;
-        lv = std::min(lv - std::clamp(dv, -0.2, 0.2), ln_inf);
-        ll = std::max(ll - std::clamp(dl, -0.2, 0.2), ln_inf);
     }
     double rv = std::exp(lv), rl = std::exp(ll);
     Eos ov = eos(p, T, rv), ol = eos(p, T, rl);

@@ -576,15 +576,19 @@ bool mix_vle_cpp(const Par& p, double T, const double z[2], double p0,
         bool res_ok = std::max(std::abs(r[0]), std::abs(r[1])) < 1e-9 &&
                       std::abs(r[2]) < 1e-9 * tot + 1e-13 * rbt;
         double ms = std::max({std::abs(s0), std::abs(s1), std::abs(s2)});
+        if (!std::isfinite(s0) || !std::isfinite(s1) || !std::isfinite(s2))
+            return false;
+        // step FIRST, then exit (see pcsaft_cpu.cpp vle()): the final
+        // Newton step from a residual-accepted point lands the densities
+        // at the f64 noise floor; the carried residual r / pressures
+        // pt_inc/pt_bulk stay a strict upper bound for the returned state
+        u[0] -= std::clamp(s0, -0.5, 0.5);
+        u[1] -= std::clamp(s1, -0.5, 0.5);
+        u[2] -= std::clamp(s2, -0.5, 0.5);
         if (ms < 1e-13 || res_ok) {
             conv = true;
             break;
         }
-        if (!std::isfinite(s0) || !std::isfinite(s1) || !std::isfinite(s2))
-            return false;
-        u[0] -= std::clamp(s0, -0.5, 0.5);
-        u[1] -= std::clamp(s1, -0.5, 0.5);
-        u[2] -= std::clamp(s2, -0.5, 0.5);
         // branch projection
         double mx = std::max(u[0], u[1]);
         double lt = mx + std::log(std::exp(u[0] - mx) + std::exp(u[1] - mx));

@@ -320,9 +320,14 @@ def _vle_newton(
     Iterates stay on their branch (rho_V below, rho_L above the inflection
     density) — NaN-proof under the noisier TPU f64 emulation; exits on step
     size or on residuals at the given tolerance level.  The last evaluated
-    (r_p, r_mu, dpt_V, dpt_L) is carried in the loop state (converged rows
-    freeze at the iterate it was computed at), so acceptance needs no
-    post-loop re-evaluation.
+    (r_p, r_mu, dpt_V, dpt_L) is carried in the loop state, so acceptance
+    needs no post-loop re-evaluation.  Rows that exit on step size or
+    residual APPLY the final Newton step before freezing (free: the step is
+    already computed; quadratic convergence turns an accepted ~1e-9
+    residual into a ~1e-18-class state error, which is what puts the
+    converged densities at the reference's 1e-10 accuracy bar), so the
+    carried residual is a strict upper bound for the returned iterate;
+    noise-floor-stalled rows freeze in place (their step is noise).
 
     With ``jac_pre`` (an f32 :class:`PurePre`) the curvature phi'' comes
     from a second-order f32 graph while the residual (pt, mu) stays
@@ -386,7 +391,10 @@ def _vle_newton(
         new = new.at[0].set(jnp.minimum(new[0], ln_inf))
         new = new.at[1].set(jnp.maximum(new[1], ln_inf))
         freeze = done | converged | bad
-        lvl_new = jnp.where(freeze, lvl, new)
+        # non-stalled active rows always take the computed step — including
+        # the FINAL step on the iteration they converge (see docstring)
+        apply = (~done) & (~bad) & (~stalled)
+        lvl_new = jnp.where(apply, new, lvl)
         keep_new = jnp.where(done, keep, jnp.stack([r1, r2, dpt[0], dpt[1]]))
         return lvl_new, keep_new, best_new, stale_new, it + 1, freeze
 
@@ -826,9 +834,12 @@ def _mix_newton(
     The residual is [mu~_i(inc) - mu~_i(bulk), p~(inc) - p~(bulk)] with
     p~(inc) carried as an auxiliary output row, and the LAST evaluated
     residual is carried in the loop state: acceptance never needs a
-    post-loop re-evaluation (converged rows freeze u at the iterate the
-    residual was computed at, so the carried residual matches the returned
-    u exactly).  One stacked 2-state phi graph per iteration.
+    post-loop re-evaluation.  Rows that exit on step size or residual
+    APPLY the final Newton step before freezing (already computed;
+    quadratic convergence makes the returned state's true residual
+    O(carried^2/stiffness) — the carried residual is a strict upper
+    bound), while noise-floor-stalled rows freeze in place.  One stacked
+    2-state phi graph per iteration.
 
     With ``phi_fn_jac`` (an f32 closure), the Newton JACOBIAN is assembled
     analytically from f32 phi Hessians (products with densities and the
@@ -956,9 +967,11 @@ def _mix_newton(
         converged = (jnp.max(jnp.abs(step)) < step_tol) | res_ok | stalled
         bad = ~jnp.all(jnp.isfinite(step))
         step = jnp.where(bad, 0.0, jnp.clip(step, -0.5, 0.5))
-        # converged rows freeze at THIS iterate so the carried residual
-        # matches the returned u
-        u_new = jnp.where(done | converged | bad, u, project(u - step))
+        # non-stalled active rows always take the computed step, including
+        # the FINAL step on the iteration they converge (see docstring);
+        # the carried residual then bounds the returned u's true residual
+        apply = (~done) & (~bad) & (~stalled)
+        u_new = jnp.where(apply, project(u - step), u)
         out_new = jnp.where(done, out_keep, out)
         return (
             u_new, out_new, best_new, stale_new, it + 1,

@@ -54,8 +54,12 @@ def test_vle_densities_match_jax_solver():
     p = PureParams.from_array(jnp.asarray(params))
     rv, rl, ok = jax.jit(jax.vmap(pure_vle))(p, jnp.asarray(T))
     assert np.all(np.asarray(ok))
-    np.testing.assert_allclose(rho_cpp[:, 0], rv, rtol=1e-7)
-    np.testing.assert_allclose(rho_cpp[:, 1], rl, rtol=1e-9)
+    # both implementations apply the final Newton step before exiting, so
+    # the converged densities sit at the f64 noise floor (measured max
+    # 2.1e-14 vapor / 1.9e-15 liquid over the 256-row fuzz sweep) — past
+    # the reference's 1e-10 bar (reference tests/test_pcsaft_pure.py:59-88)
+    np.testing.assert_allclose(rho_cpp[:, 0], rv, rtol=1e-12)
+    np.testing.assert_allclose(rho_cpp[:, 1], rl, rtol=1e-13)
 
 
 def test_mix_derivatives_match_golden():
@@ -102,7 +106,7 @@ def test_mix_bubble_dew_match_jax_solver():
     # two independent solvers against the same physics: beats the
     # reference's 1e-8 Pa absolute bar vs FeOs
     # (reference tests/test_pcsaft_mix.py:190-192); measured ~2e-12
-    np.testing.assert_allclose(np.asarray(pb), p_cpp, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(pb), p_cpp, rtol=1e-10)
 
     rho_cpp, p_cpp, ok_cpp = cpu_backend.mix_vle_densities(
         params, kij, T, x, p0, bubble=False
@@ -110,7 +114,7 @@ def test_mix_bubble_dew_match_jax_solver():
     assert ok_cpp.all()
     pd, nans = jax.jit(eos_jax.dew_point)(T, x, p0)
     assert not np.any(nans)
-    np.testing.assert_allclose(np.asarray(pd), p_cpp, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(pd), p_cpp, rtol=1e-10)
     # dew pressure below bubble pressure for the same feed
     assert np.all(np.asarray(pd) < np.asarray(pb))
 
@@ -136,7 +140,7 @@ def test_mix_bubble_nonassoc_kij_match_jax_solver():
         assert ok_cpp.all()
         p_jax, nans = jax.jit(fn)(T, x, p0)
         assert not np.any(nans)
-        np.testing.assert_allclose(np.asarray(p_jax), p_cpp, rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(p_jax), p_cpp, rtol=1e-10)
 
 
 def test_liquid_density_matches_jax():
@@ -151,7 +155,7 @@ def test_liquid_density_matches_jax():
     nans, rho_jax = jax.jit(liquid_density)(params, jnp.asarray(T), jnp.asarray(p_pa))
     assert not np.any(nans)
     np.testing.assert_allclose(
-        rho_cpp / KMOL_M3_TO_REDUCED, rho_jax, rtol=1e-9
+        rho_cpp / KMOL_M3_TO_REDUCED, rho_jax, rtol=1e-11
     )
 
 
