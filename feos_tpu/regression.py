@@ -63,31 +63,64 @@ class FitResult(NamedTuple):
     loss_history: jnp.ndarray
 
 
-def _run_fit(loss_fn, optimizer, theta, steps: int):
+def _run_fit(loss_fn, optimizer, theta, steps: int, aux0=None):
     """Jitted ``lax.scan`` training loop shared by the fitting entry points.
 
     One device program for the whole fit: no per-step host round trip, the
     loss history materializes as a single stacked (steps,) array, and the
     parameter/optimizer buffers are donated so the optimizer state updates
     in place.
+
+    With ``aux0`` given, ``loss_fn(theta, aux) -> (loss, aux_next)`` and the
+    auxiliary state rides in the scan carry — used to warm-start each
+    step's VLE solves at the previous step's converged pressures (the
+    solver accepts an arbitrary initial pressure estimate; a converged
+    result from nearly identical parameters is a far better start than the
+    experimental data, so the solver's NPT/successive-substitution stages
+    finish in fewer batch-synchronized iterations every step after the
+    first).  The auxiliary state carries no gradient (see the callers'
+    ``stop_gradient``); it changes only iteration counts, never converged
+    results.
     """
     opt_state = optimizer.init(theta)
 
+    if aux0 is None:
+        def body(carry, _):
+            theta, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_fn)(theta)
+            updates, opt_state = optimizer.update(grads, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            return (theta, opt_state), loss
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def run(theta, opt_state):
+            (theta, _), losses = jax.lax.scan(
+                body, (theta, opt_state), length=steps
+            )
+            return theta, losses
+
+        return run(theta, opt_state)
+
     def body(carry, _):
-        theta, opt_state = carry
-        loss, grads = jax.value_and_grad(loss_fn)(theta)
+        theta, opt_state, aux = carry
+        (loss, aux_next), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(theta, aux)
         updates, opt_state = optimizer.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
-        return (theta, opt_state), loss
+        return (theta, opt_state, aux_next), loss
 
+    # aux0 typically aliases an array the loss closure also captures (the
+    # experimental pressures double as the first warm start), so it is not
+    # donatable — donate only the parameter/optimizer buffers
     @partial(jax.jit, donate_argnums=(0, 1))
-    def run(theta, opt_state):
-        (theta, _), losses = jax.lax.scan(
-            body, (theta, opt_state), length=steps
+    def run(theta, opt_state, aux):
+        (theta, _, _), losses = jax.lax.scan(
+            body, (theta, opt_state, aux), length=steps
         )
         return theta, losses
 
-    return run(theta, opt_state)
+    return run(theta, opt_state, aux0)
 
 
 def fit_pure(
@@ -144,7 +177,7 @@ def fit_pure(
 
 
 def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
-                p_bubble, p0=None, branches=None):
+                p_bubble, p0=None, branches=None, return_solved=False):
     """Relative-SSE loss of bubble pressures for one binary pair.
 
     ``kij_pair`` is the (2,) vector ``[k_ij, epsilon_k_AiBj]`` shared by
@@ -153,6 +186,10 @@ def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
     experimental pressures double as the solver's initial estimates
     (``p0``) unless given — the reference forwards user estimates the
     same way (src/pcsaft.rs:170).
+
+    ``return_solved=True`` additionally returns the converged pressures
+    (gradient-stopped; failed rows keep their ``p0``) so a training loop
+    can warm-start the next step's solves.
     """
     from .models.pcsaft_mix import bubble_point
 
@@ -164,7 +201,11 @@ def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
     p, nans = bubble_point(
         params_b, kij_b, temperature, liquid_molefracs, p0, branches=branches
     )
-    return masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+    loss = masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+    if return_solved:
+        p_solved = jax.lax.stop_gradient(jnp.where(nans, p0, p))
+        return loss, p_solved
+    return loss
 
 
 def fit_binary(
@@ -208,12 +249,14 @@ def fit_binary(
     eps_scale = abs(eps0) if fit_eps and eps0 != 0.0 else 1.0
     theta = jnp.array([float(kij0), eps0 / eps_scale])
 
-    def loss_fn(theta):
+    def loss_fn(theta, p0):
+        # p0 is the previous step's converged pressures (scan carry): the
+        # solver warm-starts within O(learning-rate) of the new root
         eps = theta[1] * eps_scale if fit_eps else 0.0
         kij_pair = jnp.stack([theta[0], jnp.asarray(eps, dtype=jnp.float64)])
         return binary_loss(
             kij_pair, parameters, temperature, liquid_molefracs, p_bubble,
-            branches=br,
+            p0=p0, branches=br, return_solved=True,
         )
 
     if mesh is not None:
@@ -226,7 +269,7 @@ def fit_binary(
         p_bubble = jax.device_put(p_bubble, batch_sh)
         theta = jax.device_put(theta, repl)
 
-    theta, losses = _run_fit(loss_fn, optimizer, theta, steps)
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=p_bubble)
     kij_fit = theta[0]
     eps_fit = theta[1] * eps_scale if fit_eps else jnp.asarray(0.0)
     return FitResult(jnp.stack([kij_fit, eps_fit]), losses)
@@ -304,13 +347,17 @@ def fit_gc(
     # change which dipole/association regimes are reachable)
     br = static_branches_gc(build(theta))
 
-    def loss_fn(theta):
+    def loss_fn(theta, p0):
+        # warm start at the previous step's converged pressures (see
+        # fit_binary / _run_fit aux carry)
         params = build(theta)
         p, nans = gc_incipient_property(
-            params, temperature, liquid_molefracs, p_bubble,
+            params, temperature, liquid_molefracs, p0,
             bubble=True, branches=br,
         )
-        return masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+        loss = masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
+        p_solved = jax.lax.stop_gradient(jnp.where(nans, p0, p))
+        return loss, p_solved
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -322,5 +369,5 @@ def fit_gc(
         p_bubble = jax.device_put(p_bubble, batch_sh)
         theta = jax.device_put(theta, repl)
 
-    theta, losses = _run_fit(loss_fn, optimizer, theta, steps)
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=p_bubble)
     return FitResult(theta, losses)
