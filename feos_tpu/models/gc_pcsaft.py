@@ -623,7 +623,8 @@ _gc_derivatives_jit = jax.jit(_gc_derivatives_impl,
 
 
 def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
-                          bubble=True, branches=None, full_output=False):
+                          bubble=True, branches=None, full_output=False,
+                          state0=None, state_output=False):
     """Batched gc bubble/dew pressure with stationary re-attachment.
 
     Value from the solver's carried state, gradient from the stationary
@@ -639,6 +640,10 @@ def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
     static) so all facade instances share one trace per shape — the solver
     graphs cost tens of seconds to trace+lower, and bound-method jits
     cannot share caches.
+
+    ``state0``/``state_output`` give continuation warm starts across
+    repeated solves at slowly-moving parameters (see
+    :func:`pcsaft_mix.bubble_point`).
     """
     temperature = jnp.asarray(temperature, dtype=jnp.float64)
     molefracs = jnp.asarray(molefracs, dtype=jnp.float64)
@@ -651,16 +656,19 @@ def gc_incipient_property(params: GcParams, temperature, molefracs, pressure,
                 f"(B, {n}) composition matrix for {n}-component mixtures"
             )
         molefracs = jnp.stack([molefracs, 1.0 - molefracs], axis=-1)
-    p_out, nans, y_inc = _gc_incipient_jit(
+    p_out, nans, y_inc, u_state = _gc_incipient_jit(
         params, temperature, molefracs, pressure, bubble=bubble,
-        branches=branches)
+        branches=branches, state0=state0)
+    out = (p_out, nans)
     if full_output:
-        return p_out, nans, y_inc
-    return p_out, nans
+        out = out + (y_inc,)
+    if state_output:
+        out = out + (u_state,)
+    return out
 
 
 def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
-                       branches):
+                       branches, state0=None):
     from ..solvers.vle import (
         _states_eos, mix_vle, solve_with_identity_gradients,
     )
@@ -669,7 +677,7 @@ def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
     f32 = jnp.float32
     br = branches
 
-    def solve_item(g, t, z, pr):
+    def solve_item(g, t, z, pr, s0=None):
         # rho-free precompute hoisted out of every phi instantiation in the
         # solver loops (one per solve instead of one per Newton iteration)
         pre = precompute_gc(g, t)
@@ -683,15 +691,21 @@ def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
             z, pr, pre.md3,
             incipient_is_vapor=bubble,
             phi_fn32=lambda r: phi_gc_pre(pre32, r, branches=br),
+            u0_init=s0,
         )
 
     def solve_batch(diff_args):
-        # molefracs/p_red ride in diff_args, not the closure: a traced
-        # composition or temperature makes them tracers, which must not
-        # be captured by the custom_jvp closure (see pcsaft_mix)
-        gd, td, zd, prd = diff_args
-        return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
-            gd, td, zd, prd
+        # molefracs/p_red/state0 ride in diff_args, not the closure: a
+        # traced composition, temperature, or scan-carried state makes them
+        # tracers, which must not be captured by the custom_jvp closure
+        # (see pcsaft_mix)
+        gd, td, zd, prd, s0d = diff_args
+        if s0d is None:
+            return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
+                gd, td, zd, prd
+            )
+        return jax.vmap(solve_item, in_axes=(_GC_BATCH_AXES, 0, 0, 0, 0))(
+            gd, td, zd, prd, s0d
         )
 
     def attach(g, t, r_inc, r_bulk):
@@ -714,21 +728,28 @@ def _gc_incipient_impl(params, temperature, molefracs, pressure, bubble,
         return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
     def ident_batch(diff_args, rho_inc, rho_bulk):
-        gd, td, _, _ = diff_args
+        gd, td, _, _, _ = diff_args
         return jax.vmap(attach, in_axes=(_GC_BATCH_AXES, 0, 0, 0))(
             gd, td, rho_inc, rho_bulk
         )
 
     # value from the solver, derivatives from the stationary identity
     # (custom_jvp: identity traced only under AD; see solvers/vle.py)
-    pt_eq, ok, rho_inc, _ = solve_with_identity_gradients(
-        solve_batch, ident_batch, (params, temperature, molefracs, p_red),
+    pt_eq, ok, rho_inc, rho_bulk = solve_with_identity_gradients(
+        solve_batch, ident_batch,
+        (params, temperature, molefracs, p_red, state0),
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
     # incipient-phase composition (zero-gradient; see pcsaft_mix)
     y_inc = rho_inc / jnp.sum(rho_inc, axis=1, keepdims=True)
     y_inc = jnp.where(ok[:, None], y_inc, jnp.nan)
-    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc
+    # converged log-state for warm-started continuation (see pcsaft_mix)
+    u_state = jnp.concatenate(
+        [jnp.log(rho_inc), jnp.log(jnp.sum(rho_bulk, axis=1))[:, None]],
+        axis=1,
+    )
+    u_state = jnp.where(ok[:, None], u_state, jnp.nan)
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc, u_state
 
 
 _gc_incipient_jit = jax.jit(_gc_incipient_impl,
@@ -774,22 +795,23 @@ class GcPcSaftMix:
                              branches=static_branches_gc(self.params))
 
     def bubble_point(self, temperature, liquid_molefracs, pressure,
-                     full_output=False):
+                     full_output=False, state0=None, state_output=False):
         """Batched bubble-point pressure (reference feos_torch/gc_pcsaft.py:470-490).
 
         ``full_output=True`` additionally returns the incipient-vapor
-        composition (B, n); see pcsaft_mix.bubble_point."""
+        composition (B, n); ``state0``/``state_output`` warm-start
+        continuation — see pcsaft_mix.bubble_point."""
         return gc_incipient_property(
             self.params, temperature, liquid_molefracs, pressure,
             bubble=True, branches=static_branches_gc(self.params),
-            full_output=full_output,
+            full_output=full_output, state0=state0, state_output=state_output,
         )
 
     def dew_point(self, temperature, vapor_molefracs, pressure,
-                  full_output=False):
+                  full_output=False, state0=None, state_output=False):
         """Batched dew-point pressure (reference feos_torch/gc_pcsaft.py:492-512)."""
         return gc_incipient_property(
             self.params, temperature, vapor_molefracs, pressure,
             bubble=False, branches=static_branches_gc(self.params),
-            full_output=full_output,
+            full_output=full_output, state0=state0, state_output=state_output,
         )

@@ -532,7 +532,8 @@ _mix_derivatives_jit = jax.jit(_mix_derivatives_impl,
 
 
 def _incipient_property(parameters, kij, temperature, molefracs, pressure,
-                        bubble, branches=None, full_output=False):
+                        bubble, branches=None, full_output=False,
+                        state0=None, state_output=False):
     """Shared bubble/dew implementation with stationary re-attachment.
 
     Solve (stop-gradient) for the coexisting partial densities, then
@@ -552,6 +553,13 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     computed through the f32 parameter closure: a ~1e-7-relative gradient
     perturbation, while removing all second-order f64 graphs from the
     program (the dominant TPU compile cost; see solvers/vle.py).
+
+    ``state0`` is an optional (B, n+1) converged log-state from a previous
+    solve at nearby parameters: the solver then skips its iterative
+    initialization (the continuation fast path; see
+    :func:`solvers.vle.mix_vle`).  ``state_output=True`` appends the
+    converged log-state (NaN on failed rows, gradient-stopped) to the
+    return tuple so optimizer loops can carry it.
     """
     p = MixParams.from_array(parameters)
     kv, ev = _split_kij(kij, jnp.shape(parameters)[0])
@@ -578,26 +586,35 @@ def _incipient_property(parameters, kij, temperature, molefracs, pressure,
     # concrete batch removes dead fixed-point subgraphs from every phi
     # instantiation in the solver
     br = branches if branches is not None else static_branches(parameters)
-    p_out, nans, y_inc = _mix_incipient_jit(
+    p_out, nans, y_inc, u_state = _mix_incipient_jit(
         p, kv, ev, temperature, molefracs, pressure, bubble=bubble,
-        branches=br)
+        branches=br, state0=state0)
+    out = (p_out, nans)
     if full_output:
-        return p_out, nans, y_inc
-    return p_out, nans
+        out = out + (y_inc,)
+    if state_output:
+        out = out + (u_state,)
+    return out
 
 
 def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
-                        branches):
+                        branches, state0=None):
     """Jitted solver core (module-level so all call sites — facades, tests,
     repeated FD evaluations — share one trace per shape/branch set; the
-    solver graphs cost tens of seconds to trace+lower)."""
+    solver graphs cost tens of seconds to trace+lower).
+
+    ``state0`` (optional, (B, n+1)) is a warm-start log-state from a
+    previous converged solve (see :func:`solvers.vle.mix_vle`): the solver
+    then skips its iterative initialization entirely — the optimizer-loop
+    fast path.
+    """
     from ..solvers.vle import _states_eos, mix_vle, solve_with_identity_gradients
 
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
     f32 = jnp.float32
     br = branches
 
-    def solve_item(pi, ki, ei, t, z, pr):
+    def solve_item(pi, ki, ei, t, z, pr, s0=None):
         # rho-free precompute hoisted out of every phi instantiation in the
         # solver loops (one per solve instead of one per Newton iteration)
         pre = precompute_mix(pi, ki, ei, t)
@@ -617,16 +634,20 @@ def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
             z, pr, pre.md3,
             incipient_is_vapor=bubble,
             phi_fn32=lambda r: phi_mix_pre(pre32, r, branches=br),
+            u0_init=s0,
         )
 
     def solve_batch(diff_args):
-        # molefracs/p_red ride in diff_args (NOT the closure): under a
-        # temperature/composition gradient they are tracers, and a tracer
-        # captured by the custom_jvp closure leaks out of the transform.
-        # The identity ignores them, so their gradient contribution is the
-        # (correct) zero of the reference's detached-solver convention.
-        pd, kvd, evd, td, zd, prd = diff_args
-        return jax.vmap(solve_item)(pd, kvd, evd, td, zd, prd)
+        # molefracs/p_red/state0 ride in diff_args (NOT the closure): under
+        # a temperature/composition gradient (or a scan carry) they are
+        # tracers, and a tracer captured by the custom_jvp closure leaks
+        # out of the transform.  The identity ignores them, so their
+        # gradient contribution is the (correct) zero of the reference's
+        # detached-solver convention.
+        pd, kvd, evd, td, zd, prd, s0d = diff_args
+        if s0d is None:
+            return jax.vmap(solve_item)(pd, kvd, evd, td, zd, prd)
+        return jax.vmap(solve_item)(pd, kvd, evd, td, zd, prd, s0d)
 
     def attach(pi, ki, ei, t, r_inc, r_bulk):
         pre = precompute_mix(pi, ki, ei, t)
@@ -654,14 +675,15 @@ def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
         return -(a_inc + p_b * v_bulk + g_bulk - 1.0) / (1.0 / rho_inc_t - v_bulk)
 
     def ident_batch(diff_args, rho_inc, rho_bulk):
-        pd, kvd, evd, td, _, _ = diff_args
+        pd, kvd, evd, td, _, _, _ = diff_args
         return jax.vmap(attach)(pd, kvd, evd, td, rho_inc, rho_bulk)
 
     # value from the solver's carried state, derivatives from the
     # stationary identity — the identity graph is traced only under AD
     # (jax.custom_jvp; see solve_with_identity_gradients)
-    pt_eq, ok, rho_inc, _ = solve_with_identity_gradients(
-        solve_batch, ident_batch, (p, kv, ev, temperature, molefracs, p_red)
+    pt_eq, ok, rho_inc, rho_bulk = solve_with_identity_gradients(
+        solve_batch, ident_batch,
+        (p, kv, ev, temperature, molefracs, p_red, state0),
     )
     pressure_out = pt_eq * temperature * REDUCED_TO_PA_PER_KT
     # incipient-phase composition from the converged partial densities.
@@ -669,7 +691,16 @@ def _mix_incipient_impl(p, kv, ev, temperature, molefracs, pressure, bubble,
     # convention — the re-attachment identity covers the pressure only.
     y_inc = rho_inc / jnp.sum(rho_inc, axis=1, keepdims=True)
     y_inc = jnp.where(ok[:, None], y_inc, jnp.nan)
-    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc
+    # converged log-state for warm-started continuation (NaN where failed:
+    # callers keep their previous state).  rho_bulk = z exp(u[n]) with
+    # sum(z) = 1, so u[n] = ln(sum rho_bulk); gradients are stopped (the
+    # sanitized densities are already detached in the solver wrapper).
+    u_state = jnp.concatenate(
+        [jnp.log(rho_inc), jnp.log(jnp.sum(rho_bulk, axis=1))[:, None]],
+        axis=1,
+    )
+    u_state = jnp.where(ok[:, None], u_state, jnp.nan)
+    return jnp.where(ok, pressure_out, jnp.nan), ~ok, y_inc, u_state
 
 
 _mix_incipient_jit = jax.jit(_mix_incipient_impl,
@@ -677,7 +708,8 @@ _mix_incipient_jit = jax.jit(_mix_incipient_impl,
 
 
 def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
-                 branches=None, full_output=False):
+                 branches=None, full_output=False, state0=None,
+                 state_output=False):
     """Batched bubble-point pressure (Pa) with parameter gradients.
 
     Replaces reference ``PcSaftMix.bubble_point``
@@ -696,23 +728,33 @@ def bubble_point(parameters, kij, temperature, liquid_molefracs, pressure,
     (vapor) composition ``y`` (B, n) — NaN on failed rows, zero parameter
     gradient per the detached-solver convention (beyond the reference,
     which discards the vapor composition its solver computes).
+
+    ``state0``/``state_output`` give continuation warm starts across
+    repeated solves at slowly-moving parameters (optimizer loops): pass a
+    previous call's ``state_output`` log-state back as ``state0`` and the
+    solver skips its iterative initialization (see
+    :func:`_incipient_property`).
     """
     return _incipient_property(
         parameters, kij, temperature, liquid_molefracs, pressure,
         bubble=True, branches=branches, full_output=full_output,
+        state0=state0, state_output=state_output,
     )
 
 
 def dew_point(parameters, kij, temperature, vapor_molefracs, pressure,
-              branches=None, full_output=False):
+              branches=None, full_output=False, state0=None,
+              state_output=False):
     """Batched dew-point pressure (Pa); reference feos_torch/pcsaft_mix.py:446-468.
 
     ``full_output=True`` additionally returns the incipient-phase (liquid)
-    composition ``x`` (B, n); see :func:`bubble_point`.
+    composition ``x`` (B, n); ``state0``/``state_output`` warm-start
+    continuation — see :func:`bubble_point`.
     """
     return _incipient_property(
         parameters, kij, temperature, vapor_molefracs, pressure,
         bubble=False, branches=branches, full_output=full_output,
+        state0=state0, state_output=state_output,
     )
 
 
@@ -752,15 +794,17 @@ class PcSaftMix:
                               branches=self.branches)
 
     def bubble_point(self, temperature, liquid_molefracs, pressure,
-                     full_output=False):
+                     full_output=False, state0=None, state_output=False):
         return bubble_point(
             self.parameters, self.kij, temperature, liquid_molefracs, pressure,
             branches=self.branches, full_output=full_output,
+            state0=state0, state_output=state_output,
         )
 
     def dew_point(self, temperature, vapor_molefracs, pressure,
-                  full_output=False):
+                  full_output=False, state0=None, state_output=False):
         return dew_point(
             self.parameters, self.kij, temperature, vapor_molefracs, pressure,
             branches=self.branches, full_output=full_output,
+            state0=state0, state_output=state_output,
         )

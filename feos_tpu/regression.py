@@ -177,7 +177,8 @@ def fit_pure(
 
 
 def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
-                p_bubble, p0=None, branches=None, return_solved=False):
+                p_bubble, p0=None, branches=None, state0=None,
+                return_state=False):
     """Relative-SSE loss of bubble pressures for one binary pair.
 
     ``kij_pair`` is the (2,) vector ``[k_ij, epsilon_k_AiBj]`` shared by
@@ -187,9 +188,12 @@ def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
     (``p0``) unless given — the reference forwards user estimates the
     same way (src/pcsaft.rs:170).
 
-    ``return_solved=True`` additionally returns the converged pressures
-    (gradient-stopped; failed rows keep their ``p0``) so a training loop
-    can warm-start the next step's solves.
+    ``state0`` is a (B, 3) converged solver log-state from a previous call
+    at nearby parameters: the bubble solve then skips its iterative
+    initialization entirely (the continuation fast path; see
+    :func:`models.pcsaft_mix.bubble_point`).  ``return_state=True``
+    additionally returns the converged state (gradient-stopped; failed
+    rows keep their ``state0``) so a training loop can carry it.
     """
     from .models.pcsaft_mix import bubble_point
 
@@ -198,13 +202,18 @@ def binary_loss(kij_pair, parameters, temperature, liquid_molefracs,
     params_b = jnp.tile(parameters[None], (B, 1, 1))
     kij_b = jnp.tile(kij_pair[None, :], (B, 1))
     p0 = p_bubble if p0 is None else p0
-    p, nans = bubble_point(
-        params_b, kij_b, temperature, liquid_molefracs, p0, branches=branches
+    p, nans, u_state = bubble_point(
+        params_b, kij_b, temperature, liquid_molefracs, p0, branches=branches,
+        state0=state0, state_output=True,
     )
     loss = masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
-    if return_solved:
-        p_solved = jax.lax.stop_gradient(jnp.where(nans, p0, p))
-        return loss, p_solved
+    if return_state:
+        if state0 is not None:
+            # failed rows keep the last good state (NaN would poison the
+            # warm start forever; parameters move, so a row that failed
+            # this step may re-converge from its old state next step)
+            u_state = jnp.where(nans[:, None], state0, u_state)
+        return loss, jax.lax.stop_gradient(u_state)
     return loss
 
 
@@ -249,14 +258,17 @@ def fit_binary(
     eps_scale = abs(eps0) if fit_eps and eps0 != 0.0 else 1.0
     theta = jnp.array([float(kij0), eps0 / eps_scale])
 
-    def loss_fn(theta, p0):
-        # p0 is the previous step's converged pressures (scan carry): the
-        # solver warm-starts within O(learning-rate) of the new root
+    def kij_pair_of(theta):
         eps = theta[1] * eps_scale if fit_eps else 0.0
-        kij_pair = jnp.stack([theta[0], jnp.asarray(eps, dtype=jnp.float64)])
+        return jnp.stack([theta[0], jnp.asarray(eps, dtype=jnp.float64)])
+
+    def loss_fn(theta, u_prev):
+        # u_prev is the previous step's converged solver state (scan
+        # carry): the solve skips its initialization and polishes from
+        # within O(learning-rate) of the new root
         return binary_loss(
-            kij_pair, parameters, temperature, liquid_molefracs, p_bubble,
-            p0=p0, branches=br, return_solved=True,
+            kij_pair_of(theta), parameters, temperature, liquid_molefracs,
+            p_bubble, branches=br, state0=u_prev, return_state=True,
         )
 
     if mesh is not None:
@@ -269,7 +281,16 @@ def fit_binary(
         p_bubble = jax.device_put(p_bubble, batch_sh)
         theta = jax.device_put(theta, repl)
 
-    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=p_bubble)
+    # seed the carry with ONE cold (fully initialized) solve at theta0;
+    # every scan step then runs the warm fast path.  Rows that fail cold
+    # keep a NaN state — the warm solver parks and masks them, matching
+    # the old behavior (they failed identically at every cold re-attempt).
+    _, u0 = binary_loss(
+        kij_pair_of(theta), parameters, temperature, liquid_molefracs,
+        p_bubble, branches=br, return_state=True,
+    )
+
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=u0)
     kij_fit = theta[0]
     eps_fit = theta[1] * eps_scale if fit_eps else jnp.asarray(0.0)
     return FitResult(jnp.stack([kij_fit, eps_fit]), losses)
@@ -347,17 +368,24 @@ def fit_gc(
     # change which dipole/association regimes are reachable)
     br = static_branches_gc(build(theta))
 
-    def loss_fn(theta, p0):
-        # warm start at the previous step's converged pressures (see
-        # fit_binary / _run_fit aux carry)
+    def gc_loss(theta, state0, return_state):
         params = build(theta)
-        p, nans = gc_incipient_property(
-            params, temperature, liquid_molefracs, p0,
-            bubble=True, branches=br,
+        p, nans, u_state = gc_incipient_property(
+            params, temperature, liquid_molefracs, p_bubble,
+            bubble=True, branches=br, state0=state0, state_output=True,
         )
         loss = masked_relative_sse(jnp.where(nans, 1.0, p), p_bubble, ~nans)
-        p_solved = jax.lax.stop_gradient(jnp.where(nans, p0, p))
-        return loss, p_solved
+        if not return_state:
+            return loss
+        if state0 is not None:
+            # failed rows keep the last good state (see binary_loss)
+            u_state = jnp.where(nans[:, None], state0, u_state)
+        return loss, jax.lax.stop_gradient(u_state)
+
+    def loss_fn(theta, u_prev):
+        # u_prev is the previous step's converged solver state (scan
+        # carry): the solve skips its initialization (see fit_binary)
+        return gc_loss(theta, u_prev, return_state=True)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -369,5 +397,8 @@ def fit_gc(
         p_bubble = jax.device_put(p_bubble, batch_sh)
         theta = jax.device_put(theta, repl)
 
-    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=p_bubble)
+    # one cold solve at theta0 seeds the warm-start carry (see fit_binary)
+    _, u0 = gc_loss(theta, None, return_state=True)
+
+    theta, losses = _run_fit(loss_fn, optimizer, theta, steps, aux0=u0)
     return FitResult(theta, losses)

@@ -674,35 +674,25 @@ _N_SS_WARMUP = 16
 _MAX_MIX_ITER = 80
 
 
-def _mix_init(phi_fn, z, p0, md3, incipient_is_vapor, step_tol):
-    """Initialization for the mixture VLE Newton (one dtype, one phi graph
-    per loop body).
+def _mix_limits(phi_fn, z, p0, md3, incipient_is_vapor):
+    """Stage-1 initialization: static packing-fraction grid scan of
+    p~(rho; z).
 
-    Stages (each with exactly ONE phi-derivative site — compile-size
-    discipline; a TPU lowering of this program is dominated by the number
-    of distinct phi instantiations, each of which expands ~6x under f64
-    emulation):
+    Detects the van-der-Waals loop by *finite differences along the grid*
+    (no extra jvp), caps the caller's pressure estimate at half the
+    vapor-spinodal pressure, and extracts branch-limit densities for the
+    Newton projection.  Shared by the cold initialization (:func:`_mix_init`)
+    and the warm-start path of :func:`mix_vle`, which needs the projection
+    limits but none of the iterative stages.
 
-    1. static packing-fraction grid scan of p~(rho; z): detects the
-       van-der-Waals loop by *finite differences along the grid* (no extra
-       jvp), caps the caller's pressure estimate at half the vapor-spinodal
-       pressure, and extracts branch-limit densities for Newton projection;
-    2. NPT solves of both phase branches at p0 in one 2-lane Newton loop;
-    3. successive-substitution warmup on the incipient fugacities with a
-       per-iteration bulk re-estimate (dew only), one stacked 2-state phi
-       graph per iteration.
-
-    Returns ``(u0, limits, init_ok)`` with ``u0 = [ln rho_inc (n), ln
-    rho_bulk_t]`` and ``limits = (ln_inc_min, ln_inc_max, ln_bulk_min,
-    ln_bulk_max)``.
+    Returns ``(p0_capped, limits)`` with ``limits = (ln_inc_min,
+    ln_inc_max, ln_bulk_min, ln_bulk_max)``.
     """
-    n = z.shape[0]
     dtype = z.dtype
     inf = jnp.asarray(jnp.inf, dtype=dtype)
     z_md3 = jnp.sum(z * md3)
     eta_factor = PI / 6.0 * z_md3
 
-    # -- stage 1: grid scan ------------------------------------------------
     rho_grid = jnp.asarray(_ETA_GRID, dtype=dtype) / eta_factor
     R_grid = z[None, :] * rho_grid[:, None]
     pt_grid, _ = _states_eos(phi_fn, R_grid)
@@ -739,6 +729,35 @@ def _mix_init(phi_fn, z, p0, md3, incipient_is_vapor, step_tol):
         # at equal eta sits at a LOWER molar density
         ln_inc_floor = ln_rho_sl + jnp.log(z_md3 / jnp.max(md3))
         limits = (ln_inc_floor, inf, -inf, ln_rho_sv)
+    return p0, limits
+
+
+def _mix_init(phi_fn, z, p0, md3, incipient_is_vapor, step_tol):
+    """Initialization for the mixture VLE Newton (one dtype, one phi graph
+    per loop body).
+
+    Stages (each with exactly ONE phi-derivative site — compile-size
+    discipline; a TPU lowering of this program is dominated by the number
+    of distinct phi instantiations, each of which expands ~6x under f64
+    emulation):
+
+    1. static packing-fraction grid scan of p~(rho; z) (:func:`_mix_limits`);
+    2. NPT solves of both phase branches at p0 in one 2-lane Newton loop;
+    3. successive-substitution warmup on the incipient fugacities with a
+       per-iteration bulk re-estimate (dew only), one stacked 2-state phi
+       graph per iteration.
+
+    Returns ``(u0, limits, init_ok)`` with ``u0 = [ln rho_inc (n), ln
+    rho_bulk_t]`` and ``limits = (ln_inc_min, ln_inc_max, ln_bulk_min,
+    ln_bulk_max)``.
+    """
+    n = z.shape[0]
+    dtype = z.dtype
+    z_md3 = jnp.sum(z * md3)
+    eta_factor = PI / 6.0 * z_md3
+
+    # -- stage 1: grid scan ------------------------------------------------
+    p0, limits = _mix_limits(phi_fn, z, p0, md3, incipient_is_vapor)
 
     # -- stage 2: branch NPT solves (lane 0 = liquid, lane 1 = vapor) ------
     def npt_pt(lr):
@@ -986,7 +1005,8 @@ def _mix_newton(
     return u, out
 
 
-def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
+def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None,
+            u0_init=None):
     """Bubble/dew-point solve for an n-component mixture (per item).
 
     Bulk phase has known mole fractions ``z`` (liquid for bubble, vapor for
@@ -1014,6 +1034,19 @@ def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
     short f64 Newton polish (quadratic from ~1e-4) plus f64 acceptance
     keeps final accuracy identical to the pure-f64 path.
 
+    With ``u0_init`` (an (n+1,) log-state ``[ln rho_inc, ln rho_bulk_t]``
+    from a previous converged solve at nearby parameters/conditions) the
+    iterative initialization — NPT branch solves, successive substitution,
+    the f32 Newton warmup — is skipped entirely: only the (loop-free)
+    grid scan runs to recover the branch-projection limits, and the f64
+    Newton polish starts directly from the warm state.  This is the
+    continuation fast path for optimizer loops, where parameters move by
+    O(learning rate) per step and the previous root is already within the
+    polish Newton's quadratic basin.  Results on converged rows are
+    IDENTICAL to the cold path (same residual acceptance); rows whose warm
+    state is outside the basin simply fail their mask (callers keep the
+    last good state).
+
     Returns ``(rho_incipient (n,), rho_bulk (n,), ok, p~_eq)`` — the
     reduced equilibrium pressure, taken from the carried residual state on
     the VAPOR side (exact at the converged root, no extra phi evaluation,
@@ -1022,7 +1055,28 @@ def mix_vle(phi_fn, z, p0, md3, incipient_is_vapor: bool, phi_fn32=None):
     n = z.shape[0]
     dtype = z.dtype
 
-    if phi_fn32 is not None:
+    if u0_init is not None:
+        # -- warm start: grid scan (limits only) + f64 polish -------------
+        if phi_fn32 is not None:
+            f32 = jnp.float32
+            phi_fn32_g = lambda r: phi_fn32(
+                jnp.maximum(r, jnp.asarray(_GRAD_RHO_FLOOR_F32, dtype=r.dtype))
+            )
+            _, limits32 = _mix_limits(
+                phi_fn32_g, z.astype(f32), p0.astype(f32), md3.astype(f32),
+                incipient_is_vapor,
+            )
+            limits = tuple(l.astype(dtype) for l in limits32)
+        else:
+            _, limits = _mix_limits(phi_fn, z, p0, md3, incipient_is_vapor)
+        u0 = jnp.asarray(u0_init, dtype=dtype)
+        init_ok = jnp.all(jnp.isfinite(u0))
+        # a NaN/inf warm state would poison the whole (batch-synchronized)
+        # Newton loop; park such rows at a harmless interior point and let
+        # init_ok fail their acceptance
+        u0 = jnp.where(init_ok, u0, jnp.zeros_like(u0))
+        polish_iter = _MAX_MIX_ITER
+    elif phi_fn32 is not None:
         f32 = jnp.float32
         z32 = z.astype(f32)
         # first-derivative closure with the density floor: keeps the f32
