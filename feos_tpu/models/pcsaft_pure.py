@@ -262,8 +262,157 @@ def mu_res_pure(p: PureParams, temperature, density):
 # ---------------------------------------------------------------------------
 
 
+def _identity_grads(ident_fn, params: PureParams, exact_args, fixed,
+                    param_tangents: str = "f64"):
+    """Stationary-identity evaluation with transpose-free derivatives.
+
+    ``ident_fn(params, *exact_args, *fixed) -> (B,)`` is a batched
+    stationary re-attachment identity evaluated at detached solver state
+    (``fixed``).  The returned value is the plain f64 evaluation —
+    bit-identical to calling ``ident_fn`` directly — but the derivative
+    rule (``jax.custom_jvp``) never builds an f64 *transposed* graph: the
+    flagship ``value_and_grad(vapor_pressure)`` program spends ~135 s of
+    its ~140 s cold compile in the transposed emulated-f64 elementwise
+    ops (measured; docs/design.md "Compile-time anatomy"), while the f64
+    *forward* graph — the entire nested-Newton solver included — compiles
+    in ~5 s.  State-argument partials (temperature, target pressure; at
+    most two directions) always come from single-direction f64 forward
+    sweeps attached as ``stop_gradient`` constants, so temperature
+    gradients are f64-exact (test_properties.py pins dp_sat/dT against
+    the Clapeyron identity at rtol 1e-7).  Parameter tangents pick one of
+    two modes:
+
+    * ``param_tangents="f64"`` — one f64 forward sweep per parameter
+      column, ``vmap``-ed over the direction axis so the lowered HLO
+      holds ONE copy of the tangent graph (the unrolled-loop form was
+      measured at 149 s cold / 337 ms per step at B=1e5: twenty-one
+      emulated-f64 graph copies).  Exact; used where the identity embeds
+      second density derivatives (``liquid_density``,
+      ``equilibrium_liquid_density``, whose f32 gradients were measured
+      at up to 1.4e-3 relative — past the reference's rel-1e-4
+      acceptance, /root/reference/tests/test_pcsaft_pure.py:91-161).
+    * ``param_tangents="f32"`` — a single forward sweep of an f32 clone
+      of the identity carrying the actual parameter tangent; its
+      transpose is ordinary single-word arithmetic.  Used by the
+      throughput-critical ``vapor_pressure``, whose identity is
+      first-order in phi: measured parameter-gradient noise ~1e-7
+      relative, three decades inside the reference's acceptance.
+
+    The all-ones seed per direction yields per-row partials because
+    ``ident_fn`` is batch-diagonal (a vmapped per-row function); the
+    constant coefficients mean parameter derivatives are first-order
+    only, matching the detached-solver convention these properties
+    already define.
+    """
+    fixed = tuple(jax.lax.stop_gradient(jnp.asarray(x)) for x in fixed)
+
+    @jax.custom_jvp
+    def inner(params, *exact):
+        return ident_fn(params, *exact, *fixed)
+
+    def inner_jvp(primals, tangents):
+        from jax.custom_derivatives import SymbolicZero
+
+        p, *exact = primals
+        dp, *dexact = tangents
+        leaves, treedef = jax.tree_util.tree_flatten(p)
+        args = tuple(
+            jax.lax.stop_gradient(x) for x in (*leaves, *exact)
+        )
+
+        def f(*flat):
+            q = jax.tree_util.tree_unflatten(treedef, flat[: len(leaves)])
+            return ident_fn(q, *flat[len(leaves):], *fixed)
+
+        # symbolic_zeros=True: directions nobody differentiates never
+        # enter the lowered HLO — the flagship value_and_grad(vapor_
+        # pressure) program (parameter gradients only) carries no f64
+        # tangent graph at all
+        if isinstance(dp, SymbolicZero):  # whole-tree zero tangent
+            dp_leaves = [dp] * len(jax.tree_util.tree_leaves(p))
+        else:
+            dp_leaves = jax.tree_util.tree_leaves(
+                dp, is_leaf=lambda x: isinstance(x, SymbolicZero)
+            )
+        tang = tuple(dp_leaves) + tuple(dexact)
+        live = [not isinstance(t, SymbolicZero) for t in tang]
+
+        val = None
+        dv_terms = []
+
+        if param_tangents == "f64":
+            # every live direction in ONE vmapped f64 forward sweep:
+            # seeds are scalar one-hot rows broadcast to the (B,)
+            # argument shapes.  The jvp primal does not depend on the
+            # mapped seed, so vmap leaves it unbatched and it doubles as
+            # the value — no separate f(*args) copy in HLO.
+            idx = [i for i, l in enumerate(live) if l]
+            if idx:
+                eye = jnp.eye(len(args), dtype=jnp.float64)[jnp.array(idx)]
+
+                def sweep(e):
+                    seeds = tuple(
+                        jnp.full_like(a, e[j]) for j, a in enumerate(args)
+                    )
+                    return jax.jvp(f, args, seeds)
+
+                val, g = jax.vmap(sweep, out_axes=(None, 0))(eye)
+                for k, i in enumerate(idx):
+                    dv_terms.append(jax.lax.stop_gradient(g[k]) * tang[i])
+        else:
+            # parameter tangents on an f32 clone (single sweep, actual
+            # tangent direction)
+            if any(live[: len(leaves)]):
+                f32c = lambda xs: tuple(
+                    jnp.asarray(x, dtype=jnp.float32) for x in xs
+                )
+                fixed32 = f32c(fixed)
+
+                def f32(*flat):
+                    q = jax.tree_util.tree_unflatten(
+                        treedef, flat[: len(leaves)]
+                    )
+                    return ident_fn(q, *flat[len(leaves):], *fixed32)
+
+                dp32 = tuple(
+                    jnp.asarray(t, dtype=jnp.float32) if l
+                    else jnp.zeros_like(a, dtype=jnp.float32)
+                    for t, l, a in zip(
+                        tang[: len(leaves)], live[: len(leaves)], args
+                    )
+                )
+                dex_zero = tuple(jnp.zeros_like(a, dtype=jnp.float32)
+                                 for a in args[len(leaves):])
+                _, dv32 = jax.jvp(f32, f32c(args), dp32 + dex_zero)
+                dv_terms.append(dv32.astype(jnp.float64))
+            # live state-argument partials: one f64 forward sweep each
+            # (<= 2); the first sweep's primal doubles as the value
+            for i, ti in enumerate(tang[len(leaves):]):
+                if not live[len(leaves) + i]:
+                    continue
+                seeds = tuple(
+                    jnp.ones_like(a) if j == len(leaves) + i
+                    else jnp.zeros_like(a)
+                    for j, a in enumerate(args)
+                )
+                vi, gi = jax.jvp(f, args, seeds)
+                val = vi if val is None else val
+                dv_terms.append(jax.lax.stop_gradient(gi) * ti)
+
+        if val is None:
+            val = f(*args)
+        dv = jnp.zeros_like(val)
+        for t in dv_terms:
+            dv = dv + t
+        return val, dv
+
+    inner.defjvp(inner_jvp, symbolic_zeros=True)
+
+    return inner(params, *exact_args)
+
+
 def vapor_pressure(parameters, temperature):
-    """Batched vapor pressure in Pa with exact parameter gradients.
+    """Batched vapor pressure in Pa with parameter gradients.
 
     Replaces reference ``PcSaftPure.vapor_pressure``
     (feos_torch/pcsaft_pure.py:201-215): the VLE densities are solved by a
@@ -272,8 +421,12 @@ def vapor_pressure(parameters, temperature):
 
         p~ = -(a_V - a_L + ln(rho_V/rho_L)) / (1/rho_V - 1/rho_L)
 
-    which is stationary w.r.t. both converged densities, so reverse-mode
-    gradients w.r.t. ``parameters`` are exact.
+    which is stationary w.r.t. both converged densities, so the identity's
+    derivative equals the implicit-function derivative of the solve.
+    Parameter tangents ride an f32 clone of the (first-order-in-phi)
+    identity — measured ~1e-7 relative noise, three decades inside the
+    reference's own rel-1e-4 gradient acceptance — while temperature
+    tangents are f64-exact (see :func:`_identity_grads`).
 
     Returns ``(nans, p)`` where ``p`` has the full batch length with NaN at
     failed rows (fixed shapes; no compaction).
@@ -295,7 +448,10 @@ def vapor_pressure(parameters, temperature):
         a_v = phi_pure(pi, t, rv) / rv
         return -(a_v - a_l + jnp.log(rv / rl)) / (1.0 / rv - 1.0 / rl)
 
-    p_red = jax.vmap(attach)(p, temperature, rho_v, rho_l)
+    p_red = _identity_grads(
+        lambda pi, t, rv, rl: jax.vmap(attach)(pi, t, rv, rl),
+        p, (temperature,), (rho_v, rho_l), param_tangents="f32",
+    )
     pressure = p_red * temperature * REDUCED_TO_PA_PER_KT
     return ~ok, jnp.where(ok, pressure, jnp.nan)
 
@@ -325,7 +481,10 @@ def liquid_density(parameters, temperature, pressure):
         _, ptilde, dptilde = pure_derivatives(pi, t, r)
         return r - (ptilde - pr) / dptilde
 
-    rho = jax.vmap(attach)(p, temperature, p_red, rho)
+    rho = _identity_grads(
+        lambda pi, t, pr, r: jax.vmap(attach)(pi, t, pr, r),
+        p, (temperature, p_red), (rho,),
+    )
     return ~ok, jnp.where(ok, rho / KMOL_M3_TO_REDUCED, jnp.nan)
 
 
@@ -353,7 +512,10 @@ def equilibrium_liquid_density(parameters, temperature):
         p_eq = -(a_v - a_l + jnp.log(rv / rl)) / (1.0 / rv - 1.0 / rl)
         return rl - (p_l - p_eq) / dp_l
 
-    rho = jax.vmap(attach)(p, temperature, rho_v, rho_l)
+    rho = _identity_grads(
+        lambda pi, t, rv, rl: jax.vmap(attach)(pi, t, rv, rl),
+        p, (temperature,), (rho_v, rho_l),
+    )
     return ~ok, jnp.where(ok, rho / KMOL_M3_TO_REDUCED, jnp.nan)
 
 
