@@ -756,6 +756,58 @@ _gc_incipient_jit = jax.jit(_gc_incipient_impl,
                             static_argnames=("bubble", "branches"))
 
 
+def gc_incipient_temperature(params: GcParams, pressure, molefracs, t0,
+                             bubble=True, branches=None, full_output=False):
+    """Bubble/dew TEMPERATURE at given pressure for a gc mixture (beyond
+    the reference surface; see pcsaft_mix._incipient_temperature and
+    solvers/tsolve.py for the scheme).  Segment-parameter/kab/phi
+    gradients re-attach through the implicit function theorem."""
+    from ..solvers.tsolve import (
+        reattach_temperature, saturation_temperature_loop,
+    )
+
+    sg = jax.lax.stop_gradient
+    B = params.m_mix.shape[0]
+    p_target = jnp.broadcast_to(
+        jnp.asarray(pressure, dtype=jnp.float64), (B,)
+    )
+    t0 = sg(jnp.broadcast_to(jnp.asarray(t0, dtype=jnp.float64), (B,)))
+    g_s = jax.tree_util.tree_map(sg, params)
+    x_s = sg(jnp.asarray(molefracs, dtype=jnp.float64))
+    p_s = sg(p_target)
+    br = branches if branches is not None else static_branches_gc(params)
+
+    _, nans0, u0 = gc_incipient_property(
+        g_s, t0, x_s, p_s, bubble=bubble, branches=br, state_output=True,
+    )
+
+    def solve_warm(T, u):
+        pw, nans, u2 = gc_incipient_property(
+            g_s, T, x_s, p_s, bubble=bubble, branches=br,
+            state0=u, state_output=True,
+        )
+        return jnp.log(pw), ~nans, u2  # pw is NaN on failed rows
+
+    t_star, u_star, done = saturation_temperature_loop(
+        solve_warm, t0, sg(jnp.log(p_target)), u0,
+    )
+
+    def solve_diff(T, u):
+        pw, _ = gc_incipient_property(
+            params, T, molefracs, p_s, bubble=bubble, branches=br, state0=u,
+        )
+        return pw
+
+    t_out = reattach_temperature(solve_diff, t_star, u_star, p_target, done)
+    if not full_output:
+        return t_out, ~done
+    _, _, y_inc = gc_incipient_property(
+        g_s, sg(t_star), x_s, p_s, bubble=bubble, branches=br,
+        state0=sg(u_star), full_output=True,
+    )
+    return t_out, ~done, jnp.where(done[:, None], y_inc, jnp.nan)
+
+
 class GcPcSaftMix:
     """Object facade mirroring reference ``GcPcSaftMix``
     (feos_torch/gc_pcsaft.py:13).  Constructor signature matches the
@@ -814,4 +866,23 @@ class GcPcSaftMix:
             self.params, temperature, vapor_molefracs, pressure,
             bubble=False, branches=static_branches_gc(self.params),
             full_output=full_output, state0=state0, state_output=state_output,
+        )
+
+    def bubble_point_t(self, pressure, liquid_molefracs, t0,
+                       full_output=False):
+        """Bubble-point temperature at given pressure (beyond the
+        reference; see :func:`gc_incipient_temperature`)."""
+        return gc_incipient_temperature(
+            self.params, pressure, liquid_molefracs, t0, bubble=True,
+            branches=static_branches_gc(self.params),
+            full_output=full_output,
+        )
+
+    def dew_point_t(self, pressure, vapor_molefracs, t0, full_output=False):
+        """Dew-point temperature at given pressure (beyond the reference;
+        see :func:`gc_incipient_temperature`)."""
+        return gc_incipient_temperature(
+            self.params, pressure, vapor_molefracs, t0, bubble=False,
+            branches=static_branches_gc(self.params),
+            full_output=full_output,
         )

@@ -758,6 +758,95 @@ def dew_point(parameters, kij, temperature, vapor_molefracs, pressure,
     )
 
 
+def _incipient_temperature(parameters, kij, pressure, molefracs, t0,
+                           bubble, branches, full_output=False):
+    """Bubble/dew TEMPERATURE at given pressure and bulk composition.
+
+    Beyond the reference surface (which is pressure-explicit only):
+    secant outer iteration over warm-started pressure solves + implicit-
+    function gradient re-attachment — see solvers/tsolve.py.  ``t0`` is
+    the initial temperature estimate (same convention as the reference's
+    initial-pressure argument to ``bubble_point``, src/pcsaft.rs:155);
+    rows whose COLD solve at ``t0`` fails stay masked (the warm-start
+    loop cannot recover a row that never produced a state).
+    """
+    from ..solvers.tsolve import (
+        reattach_temperature, saturation_temperature_loop,
+    )
+
+    sg = jax.lax.stop_gradient
+    B = jnp.shape(parameters)[0]
+    p_target = jnp.broadcast_to(
+        jnp.asarray(pressure, dtype=jnp.float64), (B,)
+    )
+    t0 = sg(jnp.broadcast_to(jnp.asarray(t0, dtype=jnp.float64), (B,)))
+    par_s = sg(jnp.asarray(parameters, dtype=jnp.float64))
+    kij_s = None if kij is None else sg(jnp.asarray(kij, dtype=jnp.float64))
+    x_s = sg(jnp.asarray(molefracs, dtype=jnp.float64))
+    p_s = sg(p_target)
+    br = branches if branches is not None else static_branches(parameters)
+
+    # cold seed at t0 (inner initial pressure = the target isobar)
+    _, nans0, u0 = _incipient_property(
+        par_s, kij_s, t0, x_s, p_s, bubble=bubble, branches=br,
+        state_output=True,
+    )
+
+    def solve_warm(T, u):
+        pw, nans, u2 = _incipient_property(
+            par_s, kij_s, T, x_s, p_s, bubble=bubble, branches=br,
+            state0=u, state_output=True,
+        )
+        return jnp.log(pw), ~nans, u2  # pw is NaN on failed rows
+
+    t_star, u_star, done = saturation_temperature_loop(
+        solve_warm, t0, sg(jnp.log(p_target)), u0,
+    )
+
+    def solve_diff(T, u):
+        pw, _ = _incipient_property(
+            parameters, kij, T, molefracs, p_s, bubble=bubble, branches=br,
+            state0=u,
+        )
+        return pw
+
+    t_out = reattach_temperature(solve_diff, t_star, u_star, p_target, done)
+    if not full_output:
+        return t_out, ~done
+    # incipient composition at the converged temperature (stopped, NaN on
+    # failed rows — the zero-gradient convention of full_output)
+    _, _, y_inc = _incipient_property(
+        par_s, kij_s, sg(t_star), x_s, p_s, bubble=bubble, branches=br,
+        state0=sg(u_star), full_output=True,
+    )
+    return t_out, ~done, jnp.where(done[:, None], y_inc, jnp.nan)
+
+
+def bubble_point_t(parameters, kij, pressure, liquid_molefracs, t0,
+                   branches=None, full_output=False):
+    """Batched bubble-point TEMPERATURE (K) at given pressure with
+    parameter/pressure gradients (beyond the reference, which is
+    pressure-explicit only; see :func:`_incipient_temperature`).
+
+    Returns ``(t, nans)``; with ``full_output=True`` also the incipient
+    vapor composition (B, n).
+    """
+    return _incipient_temperature(
+        parameters, kij, pressure, liquid_molefracs, t0, bubble=True,
+        branches=branches, full_output=full_output,
+    )
+
+
+def dew_point_t(parameters, kij, pressure, vapor_molefracs, t0,
+                branches=None, full_output=False):
+    """Batched dew-point TEMPERATURE (K) at given pressure (beyond the
+    reference; see :func:`bubble_point_t`)."""
+    return _incipient_temperature(
+        parameters, kij, pressure, vapor_molefracs, t0, bubble=False,
+        branches=branches, full_output=full_output,
+    )
+
+
 class PcSaftMix:
     """Object facade mirroring reference ``PcSaftMix`` (feos_torch/pcsaft_mix.py:12).
 
@@ -807,4 +896,21 @@ class PcSaftMix:
             self.parameters, self.kij, temperature, vapor_molefracs, pressure,
             branches=self.branches, full_output=full_output,
             state0=state0, state_output=state_output,
+        )
+
+    def bubble_point_t(self, pressure, liquid_molefracs, t0,
+                       full_output=False):
+        """Bubble-point temperature at given pressure (beyond the
+        reference; see :func:`bubble_point_t`)."""
+        return bubble_point_t(
+            self.parameters, self.kij, pressure, liquid_molefracs, t0,
+            branches=self.branches, full_output=full_output,
+        )
+
+    def dew_point_t(self, pressure, vapor_molefracs, t0, full_output=False):
+        """Dew-point temperature at given pressure (beyond the reference;
+        see :func:`dew_point_t`)."""
+        return dew_point_t(
+            self.parameters, self.kij, pressure, vapor_molefracs, t0,
+            branches=self.branches, full_output=full_output,
         )

@@ -565,6 +565,51 @@ def critical_point(parameters):
     return ~ok, t_out, rho_out
 
 
+def boiling_temperature(parameters, pressure, t0):
+    """Batched boiling temperature (K) at given pressure with parameter
+    and pressure gradients.
+
+    Beyond the reference surface (pressure-explicit only): secant outer
+    iteration in (1/T, ln p) over :func:`vapor_pressure` + one symbolic
+    Newton step in T for exact implicit-function gradients — see
+    solvers/tsolve.py.  ``t0`` is the initial temperature estimate (same
+    convention as the reference's initial-pressure argument to its
+    mixture solvers, src/pcsaft.rs:155).
+
+    Returns ``(nans, t)`` in the pure-model return order.
+    """
+    from ..solvers.tsolve import (
+        reattach_temperature, saturation_temperature_loop,
+    )
+
+    sg = jax.lax.stop_gradient
+    B = jnp.shape(parameters)[0]
+    p_target = jnp.broadcast_to(
+        jnp.asarray(pressure, dtype=jnp.float64), (B,)
+    )
+    t0 = sg(jnp.broadcast_to(jnp.asarray(t0, dtype=jnp.float64), (B,)))
+    par_s = sg(jnp.asarray(parameters, dtype=jnp.float64))
+
+    def solve_warm(T, u):
+        nans, pw = vapor_pressure(par_s, T)
+        return jnp.log(pw), ~nans, u  # pw is NaN on failed rows
+
+    # the pure solver has no warm-start state; a dummy scalar carry keeps
+    # the generic loop's pytree handling trivial
+    t_star, _, done = saturation_temperature_loop(
+        solve_warm, t0, sg(jnp.log(p_target)), jnp.zeros((B,)),
+    )
+
+    def solve_diff(T, u):
+        _, pw = vapor_pressure(parameters, T)
+        return pw
+
+    t_out = reattach_temperature(
+        solve_diff, t_star, jnp.zeros((B,)), p_target, done
+    )
+    return ~done, t_out
+
+
 def _stop(p: PureParams) -> PureParams:
     return jax.tree_util.tree_map(jax.lax.stop_gradient, p)
 
@@ -616,3 +661,8 @@ class PcSaftPure:
 
     def critical_point(self):
         return critical_point(self.parameters)
+
+    def boiling_temperature(self, pressure, t0):
+        """Boiling temperature at given pressure (beyond the reference;
+        see :func:`boiling_temperature`)."""
+        return boiling_temperature(self.parameters, pressure, t0)
