@@ -30,7 +30,7 @@ from .models.pcsaft_mix import MixParams, PcSaftMix  # noqa: E402
 from .models.gc_pcsaft import GcPcSaftMix  # noqa: E402
 from . import units  # noqa: E402
 from .properties import ResidualProperties  # noqa: E402
-from .diagrams import BinaryPxy, binary_pxy  # noqa: E402
+from .diagrams import BinaryPxy, BinaryTxy, binary_pxy, binary_txy  # noqa: E402
 
 __version__ = "0.3.0"
 
@@ -42,7 +42,9 @@ __all__ = [
     "MixParams",
     "ResidualProperties",
     "BinaryPxy",
+    "BinaryTxy",
     "binary_pxy",
+    "binary_txy",
     "units",
     "__version__",
 ]

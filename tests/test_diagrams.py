@@ -108,3 +108,68 @@ def test_bubble_dew_round_trip():
     np.testing.assert_allclose(
         np.asarray(x_back[:, 0]), np.asarray(d.x1), rtol=0, atol=1e-8
     )
+
+
+def test_binary_txy():
+    """Isobaric T-x-y: bubble temperatures bracketed by the pure boiling
+    points, vapor enriched in the light component, and the (x, T) bubble
+    curve consistent with an isothermal bubble-pressure solve at each
+    returned temperature."""
+    from feos_tpu.diagrams import binary_txy
+    from feos_tpu.models import pcsaft_pure
+
+    P = 3e5
+    d = binary_txy(PARAMS, None, P, n_points=N)
+    assert d.x1.shape == d.y1.shape == d.t.shape == d.nans.shape == (N,)
+    assert not np.any(np.asarray(d.nans))
+    # pure boiling points bracket the curve; more propane (light, x1)
+    # lowers the bubble temperature monotonically
+    nb, tb = pcsaft_pure.boiling_temperature(
+        jnp.asarray(PARAMS), jnp.full((2,), P), 1.2 * jnp.asarray(PARAMS)[:, 2]
+    )
+    assert not np.any(np.asarray(nb))
+    t = np.asarray(d.t)
+    assert np.all(t > float(tb.min()) - 1e-9) and np.all(t < float(tb.max()) + 1e-9)
+    assert np.all(np.diff(t) < 0.0)  # x1 = propane fraction rises
+    assert np.all(np.asarray(d.y1) > np.asarray(d.x1))  # light enriches vapor
+    # cross-solver closure: isothermal bubble pressure at (x1, T) == P
+    batch = jnp.broadcast_to(jnp.asarray(PARAMS), (N, 2, 8))
+    p_back, nans2 = pcsaft_mix.bubble_point(
+        batch, None, d.t, d.x1, jnp.full((N,), P)
+    )
+    assert not np.any(np.asarray(nans2))
+    np.testing.assert_allclose(np.asarray(p_back), P, rtol=1e-9)
+
+
+def test_gc_binary_txy():
+    """gc isobaric T-x-y over the replicated-batch facade."""
+    from feos_tpu.diagrams import gc_binary_txy
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = json.loads(
+        (Path(__file__).parent / "sauer2014_hetero.json").read_text()
+    )
+    ident = [r["identifier"] for r in segs]
+    col = lambda k: np.array([r["model_record"].get(k, 0) for r in segs])
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab",
+                  "epsilon_k_ab", "na", "nb"]
+    )
+    eos = GcPcSaftMix(
+        ident,
+        parameter,
+        [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * N,
+        [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * N,
+        [],
+        None,
+    )
+    d = gc_binary_txy(eos, 3e5, n_points=N)
+    assert not np.any(np.asarray(d.nans))
+    # x1 is the n-butane (heavy) fraction: bubble T rises with it and the
+    # vapor is butane-lean
+    assert np.all(np.diff(np.asarray(d.t)) > 0.0)
+    assert np.all(np.asarray(d.y1) < np.asarray(d.x1))
+    p_back, nans2 = eos.bubble_point(d.t, d.x1, jnp.full((N,), 3e5))
+    assert not np.any(np.asarray(nans2))
+    np.testing.assert_allclose(np.asarray(p_back), 3e5, rtol=1e-9)
