@@ -180,9 +180,11 @@ def config4():
         col(k)
         for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab", "epsilon_k_ab", "na", "nb"]
     )
-    # saturation knee at B=1024 (measured 256: 8.6k bubble/s, 1024:
-    # 24.7k, 4096: 24.0k — flat past 1024)
-    B = int(os.environ.get("BENCH_GC_BATCH", 1024))
+    # B=4096 matches config3 so the gc-vs-homosegmented overhead is
+    # directly comparable (benchmarks/profile_gc.py measured the early
+    # "flat past 1024" knee reading as stale: at B=4096 the round-4
+    # solver runs gc_full in 35.7 ms = 114.7k bubble/s, 1.15x mix_full)
+    B = int(os.environ.get("BENCH_GC_BATCH", 4096))
     eos = GcPcSaftMix(
         ident,
         parameter,

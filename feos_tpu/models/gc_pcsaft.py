@@ -808,6 +808,69 @@ def gc_incipient_temperature(params: GcParams, pressure, molefracs, t0,
     return t_out, ~done, jnp.where(done[:, None], y_inc, jnp.nan)
 
 
+def _gc_flash_impl(params, temperature, z, p_red, lnK0, beta0, branches):
+    """Jitted gc flash core — see pcsaft_mix._mix_flash_impl."""
+    from ..solvers.flash import flash_tp
+
+    def item(g, t, zi, pri, lnK0i, b0i):
+        pre = precompute_gc(g, t)
+        phi = lambda r: phi_gc_pre(pre, r, assoc_q_form=True,
+                                   branches=branches)
+        lnr0 = jnp.full((2,), jnp.nan, dtype=zi.dtype)
+        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0)
+
+    return jax.vmap(item, in_axes=(_GC_BATCH_AXES, 0, 0, 0, 0, 0))(
+        params, temperature, z, p_red, lnK0, beta0
+    )
+
+
+_gc_flash_jit = jax.jit(_gc_flash_impl, static_argnames=("branches",))
+
+
+def gc_flash(params: GcParams, temperature, molefracs, pressure,
+             branches=None):
+    """Batched isothermal pT flash for a gc mixture — beyond the reference
+    surface; same contract as :func:`pcsaft_mix.flash` (two-phase window
+    from the gc bubble/dew solvers, K-factors interpolated between the
+    edge solutions, successive substitution over the gc phi).  All
+    outputs are gradient-detached."""
+    from ..solvers.flash import flash_window
+
+    sg = jax.lax.stop_gradient
+    g_s = jax.tree_util.tree_map(sg, params)
+    temperature = sg(jnp.asarray(temperature, dtype=jnp.float64))
+    z = sg(jnp.asarray(molefracs, dtype=jnp.float64))
+    pressure = sg(jnp.asarray(pressure, dtype=jnp.float64))
+    n = params.m_mix.shape[1]
+    if z.ndim == 1:
+        if n != 2:
+            raise ValueError(
+                "scalar molefracs are the binary x1 convention; pass a "
+                f"(B, {n}) composition matrix for {n}-component mixtures"
+            )
+        z = jnp.stack([z, 1.0 - z], axis=-1)
+    br = branches if branches is not None else static_branches_gc(params)
+
+    p_bub, nan_b, y_bub = gc_incipient_property(
+        g_s, temperature, z, pressure, bubble=True, branches=br,
+        full_output=True,
+    )
+    p_dew, nan_d, x_dew = gc_incipient_property(
+        g_s, temperature, z, pressure, bubble=False, branches=br,
+        full_output=True,
+    )
+    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+
+    def run_flash(lnK0, beta0):
+        return _gc_flash_jit(
+            g_s, temperature, z, p_red, lnK0, beta0, branches=br
+        )
+
+    return flash_window(
+        z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew, run_flash
+    )
+
+
 class GcPcSaftMix:
     """Object facade mirroring reference ``GcPcSaftMix``
     (feos_torch/gc_pcsaft.py:13).  Constructor signature matches the
@@ -867,6 +930,12 @@ class GcPcSaftMix:
             bubble=False, branches=static_branches_gc(self.params),
             full_output=full_output, state0=state0, state_output=state_output,
         )
+
+    def flash(self, temperature, molefracs, pressure):
+        """Batched isothermal pT flash at (T, p, z) — see :func:`gc_flash`
+        (beyond the reference surface)."""
+        return gc_flash(self.params, temperature, molefracs, pressure,
+                        branches=static_branches_gc(self.params))
 
     def bubble_point_t(self, pressure, liquid_molefracs, t0,
                        full_output=False):

@@ -847,6 +847,95 @@ def dew_point_t(parameters, kij, pressure, vapor_molefracs, t0,
     )
 
 
+def _mix_flash_impl(p, kv, ev, temperature, z, p_red, lnK0, beta0, branches):
+    """Jitted flash core: vmapped :func:`solvers.flash.flash_tp` with the
+    per-item Q-form f64 phi closure (module-level so all call sites share
+    one trace per shape/branch set)."""
+    from ..solvers.flash import flash_tp
+
+    def item(pi, ki, ei, t, zi, pri, lnK0i, b0i):
+        pre = precompute_mix(pi, ki, ei, t)
+        phi = lambda r: phi_mix_pre(pre, r, assoc_q_form=True,
+                                    branches=branches)
+        lnr0 = jnp.full((2,), jnp.nan, dtype=zi.dtype)
+        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0)
+
+    return jax.vmap(item)(p, kv, ev, temperature, z, p_red, lnK0, beta0)
+
+
+_mix_flash_jit = jax.jit(_mix_flash_impl, static_argnames=("branches",))
+
+
+def flash(parameters, kij, temperature, molefracs, pressure, branches=None):
+    """Batched isothermal pT flash at (T, p, z) — beyond the reference's
+    surface (feos-torch exposes only incipient-phase solvers; the full
+    two-phase split lives in the upstream feos crate,
+    ``PhaseEquilibrium::tp_flash``).
+
+    The two-phase window comes from the library's own bubble/dew solves at
+    the feed composition; inside it, K-factors are initialized by
+    log-interpolating the two edge solutions and refined by successive
+    substitution with warm-started two-lane NPT solves (see
+    :mod:`feos_tpu.solvers.flash`).
+
+    Returns ``(vapor_frac, x, y, rho, phase)``:
+
+    * ``vapor_frac`` (B,): molar vapor fraction beta (0.0 for subcooled
+      liquid, 1.0 for superheated vapor, NaN where failed);
+    * ``x`` / ``y`` (B, n): liquid / vapor compositions (the feed where
+      single-phase, NaN where that phase does not exist or failed);
+    * ``rho`` (B, 2): total molar densities [liquid, vapor] in A^-3 (the
+      unit :func:`residual_properties` consumes; NaN where absent) —
+      flash output chains directly into the caloric property set;
+    * ``phase`` (B,) int8: 0 = liquid, 1 = vapor, 2 = two-phase,
+      -1 = failed.
+
+    All outputs are gradient-detached: the flash split carries no single
+    stationary re-attachment identity (the envelope theorem covers only
+    the total Gibbs energy), so beta/x/y gradients are not re-attached.
+    """
+    sg = jax.lax.stop_gradient
+    parameters = sg(jnp.asarray(parameters, dtype=jnp.float64))
+    kij_s = None if kij is None else sg(jnp.asarray(kij, dtype=jnp.float64))
+    temperature = sg(jnp.asarray(temperature, dtype=jnp.float64))
+    z = sg(jnp.asarray(molefracs, dtype=jnp.float64))
+    pressure = sg(jnp.asarray(pressure, dtype=jnp.float64))
+    n = jnp.shape(parameters)[1]
+    if z.ndim == 1:
+        if n != 2:
+            raise ValueError(
+                "scalar molefracs are the binary x1 convention; pass a "
+                f"(B, {n}) composition matrix for {n}-component mixtures"
+            )
+        z = jnp.stack([z, 1.0 - z], axis=-1)
+    br = branches if branches is not None else static_branches(parameters)
+
+    # two-phase window from the library's own edge solvers at the feed
+    p_bub, nan_b, y_bub = _incipient_property(
+        parameters, kij_s, temperature, z, pressure, bubble=True,
+        branches=br, full_output=True,
+    )
+    p_dew, nan_d, x_dew = _incipient_property(
+        parameters, kij_s, temperature, z, pressure, bubble=False,
+        branches=br, full_output=True,
+    )
+
+    p = MixParams.from_array(parameters)
+    kv, ev = _split_kij(kij_s, jnp.shape(parameters)[0])
+    p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
+
+    def run_flash(lnK0, beta0):
+        return _mix_flash_jit(
+            p, kv, ev, temperature, z, p_red, lnK0, beta0, branches=br
+        )
+
+    from ..solvers.flash import flash_window
+
+    return flash_window(
+        z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew, run_flash
+    )
+
+
 class PcSaftMix:
     """Object facade mirroring reference ``PcSaftMix`` (feos_torch/pcsaft_mix.py:12).
 
@@ -881,6 +970,12 @@ class PcSaftMix:
 
         return mix_properties(self.parameters, self.kij, temperature, density,
                               branches=self.branches)
+
+    def flash(self, temperature, molefracs, pressure):
+        """Batched isothermal pT flash at (T, p, z) — see :func:`flash`
+        (beyond the reference surface)."""
+        return flash(self.parameters, self.kij, temperature, molefracs,
+                     pressure, branches=self.branches)
 
     def bubble_point(self, temperature, liquid_molefracs, pressure,
                      full_output=False, state0=None, state_output=False):
