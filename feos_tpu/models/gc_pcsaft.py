@@ -808,19 +808,26 @@ def gc_incipient_temperature(params: GcParams, pressure, molefracs, t0,
     return t_out, ~done, jnp.where(done[:, None], y_inc, jnp.nan)
 
 
-def _gc_flash_impl(params, temperature, z, p_red, lnK0, beta0, branches):
+def _gc_flash_impl(params, temperature, z, p_red, lnK0, beta0, active,
+                   branches):
     """Jitted gc flash core — see pcsaft_mix._mix_flash_impl."""
     from ..solvers.flash import flash_tp
 
-    def item(g, t, zi, pri, lnK0i, b0i):
+    f32 = jnp.float32
+
+    def item(g, t, zi, pri, lnK0i, b0i, act):
         pre = precompute_gc(g, t)
+        g32 = cast_float_fields(g, f32)
+        pre32 = precompute_gc(g32, t.astype(f32))
         phi = lambda r: phi_gc_pre(pre, r, assoc_q_form=True,
                                    branches=branches)
+        phi32 = lambda r: phi_gc_pre(pre32, r, branches=branches)
         lnr0 = jnp.full((2,), jnp.nan, dtype=zi.dtype)
-        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0)
+        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0,
+                        phi_fn_jac=phi32, active=act)
 
-    return jax.vmap(item, in_axes=(_GC_BATCH_AXES, 0, 0, 0, 0, 0))(
-        params, temperature, z, p_red, lnK0, beta0
+    return jax.vmap(item, in_axes=(_GC_BATCH_AXES, 0, 0, 0, 0, 0, 0))(
+        params, temperature, z, p_red, lnK0, beta0, active
     )
 
 
@@ -828,19 +835,22 @@ _gc_flash_jit = jax.jit(_gc_flash_impl, static_argnames=("branches",))
 
 
 def gc_flash(params: GcParams, temperature, molefracs, pressure,
-             branches=None):
+             branches=None, gradients=False):
     """Batched isothermal pT flash for a gc mixture — beyond the reference
     surface; same contract as :func:`pcsaft_mix.flash` (two-phase window
     from the gc bubble/dew solvers, K-factors interpolated between the
-    edge solutions, successive substitution over the gc phi).  All
-    outputs are gradient-detached."""
+    edge solutions, successive substitution over the gc phi).  With
+    ``gradients=True``, beta/x/y/rho derivatives w.r.t. the gc
+    parameters, T, z and p are re-attached by the implicit-function
+    theorem (see :func:`solvers.flash.flash_implicit_gradients`);
+    otherwise all outputs are gradient-detached."""
     from ..solvers.flash import flash_window
 
     sg = jax.lax.stop_gradient
     g_s = jax.tree_util.tree_map(sg, params)
-    temperature = sg(jnp.asarray(temperature, dtype=jnp.float64))
-    z = sg(jnp.asarray(molefracs, dtype=jnp.float64))
-    pressure = sg(jnp.asarray(pressure, dtype=jnp.float64))
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    z = jnp.asarray(molefracs, dtype=jnp.float64)
+    pressure = jnp.asarray(pressure, dtype=jnp.float64)
     n = params.m_mix.shape[1]
     if z.ndim == 1:
         if n != 2:
@@ -849,22 +859,54 @@ def gc_flash(params: GcParams, temperature, molefracs, pressure,
                 f"(B, {n}) composition matrix for {n}-component mixtures"
             )
         z = jnp.stack([z, 1.0 - z], axis=-1)
+    if not gradients:
+        params = g_s
+        temperature, z, pressure = map(sg, (temperature, z, pressure))
     br = branches if branches is not None else static_branches_gc(params)
 
+    # window detection stays detached (masks + initialization only)
     p_bub, nan_b, y_bub = gc_incipient_property(
-        g_s, temperature, z, pressure, bubble=True, branches=br,
-        full_output=True,
+        g_s, sg(temperature), sg(z), sg(pressure), bubble=True,
+        branches=br, full_output=True,
     )
     p_dew, nan_d, x_dew = gc_incipient_property(
-        g_s, temperature, z, pressure, bubble=False, branches=br,
-        full_output=True,
+        g_s, sg(temperature), sg(z), sg(pressure), bubble=False,
+        branches=br, full_output=True,
     )
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
-    def run_flash(lnK0, beta0):
-        return _gc_flash_jit(
-            g_s, temperature, z, p_red, lnK0, beta0, branches=br
-        )
+    if not gradients:
+        def run_flash(lnK0, beta0, active):
+            return _gc_flash_jit(
+                g_s, temperature, z, p_red, lnK0, beta0, active,
+                branches=br
+            )
+    else:
+        from ..solvers.flash import flash_implicit_gradients, flash_resid
+
+        def run_flash(lnK0, beta0, active):
+            def solve_fn(diff_args):
+                gd, td, zd, prd, lnK0d, b0d, actd = diff_args
+                return _gc_flash_jit(
+                    gd, td, zd, prd, lnK0d, b0d, actd, branches=br
+                )
+
+            def resid_fn(diff_args, v):
+                gd, td, zd, prd, _, _, _ = diff_args
+
+                def item(g, t, zi, pri, vi):
+                    pre = precompute_gc(g, t)
+                    phi = lambda r: phi_gc_pre(pre, r, branches=br)
+                    return flash_resid(phi, zi, pri, vi)
+
+                return jax.vmap(
+                    item, in_axes=(_GC_BATCH_AXES, 0, 0, 0, 0)
+                )(gd, td, zd, prd, v)
+
+            return flash_implicit_gradients(
+                solve_fn, resid_fn,
+                (params, temperature, z, p_red, lnK0, beta0, active),
+            )
 
     return flash_window(
         z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew, run_flash
@@ -931,11 +973,12 @@ class GcPcSaftMix:
             full_output=full_output, state0=state0, state_output=state_output,
         )
 
-    def flash(self, temperature, molefracs, pressure):
+    def flash(self, temperature, molefracs, pressure, gradients=False):
         """Batched isothermal pT flash at (T, p, z) — see :func:`gc_flash`
         (beyond the reference surface)."""
         return gc_flash(self.params, temperature, molefracs, pressure,
-                        branches=static_branches_gc(self.params))
+                        branches=static_branches_gc(self.params),
+                        gradients=gradients)
 
     def bubble_point_t(self, pressure, liquid_molefracs, t0,
                        full_output=False):

@@ -847,26 +847,40 @@ def dew_point_t(parameters, kij, pressure, vapor_molefracs, t0,
     )
 
 
-def _mix_flash_impl(p, kv, ev, temperature, z, p_red, lnK0, beta0, branches):
+def _mix_flash_impl(p, kv, ev, temperature, z, p_red, lnK0, beta0, active,
+                    branches):
     """Jitted flash core: vmapped :func:`solvers.flash.flash_tp` with the
-    per-item Q-form f64 phi closure (module-level so all call sites share
-    one trace per shape/branch set)."""
+    per-item Q-form f64 phi closure for residuals and the exact f32 phi
+    for the NPT Newton slopes/stability tests (the library-wide split,
+    see :func:`_mix_incipient_impl`); module-level so all call sites
+    share one trace per shape/branch set."""
     from ..solvers.flash import flash_tp
 
-    def item(pi, ki, ei, t, zi, pri, lnK0i, b0i):
+    f32 = jnp.float32
+
+    def item(pi, ki, ei, t, zi, pri, lnK0i, b0i, act):
         pre = precompute_mix(pi, ki, ei, t)
+        pi32 = MixParams(*(v.astype(f32) for v in pi))
+        pre32 = precompute_mix(
+            pi32, ki.astype(f32), ei.astype(f32), t.astype(f32)
+        )
         phi = lambda r: phi_mix_pre(pre, r, assoc_q_form=True,
                                     branches=branches)
+        phi32 = lambda r: phi_mix_pre(pre32, r, branches=branches)
         lnr0 = jnp.full((2,), jnp.nan, dtype=zi.dtype)
-        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0)
+        return flash_tp(phi, zi, pri, pre.md3, lnK0i, b0i, lnr0,
+                        phi_fn_jac=phi32, active=act)
 
-    return jax.vmap(item)(p, kv, ev, temperature, z, p_red, lnK0, beta0)
+    return jax.vmap(item)(
+        p, kv, ev, temperature, z, p_red, lnK0, beta0, active
+    )
 
 
 _mix_flash_jit = jax.jit(_mix_flash_impl, static_argnames=("branches",))
 
 
-def flash(parameters, kij, temperature, molefracs, pressure, branches=None):
+def flash(parameters, kij, temperature, molefracs, pressure, branches=None,
+          gradients=False):
     """Batched isothermal pT flash at (T, p, z) — beyond the reference's
     surface (feos-torch exposes only incipient-phase solvers; the full
     two-phase split lives in the upstream feos crate,
@@ -885,21 +899,27 @@ def flash(parameters, kij, temperature, molefracs, pressure, branches=None):
     * ``x`` / ``y`` (B, n): liquid / vapor compositions (the feed where
       single-phase, NaN where that phase does not exist or failed);
     * ``rho`` (B, 2): total molar densities [liquid, vapor] in A^-3 (the
-      unit :func:`residual_properties` consumes; NaN where absent) —
-      flash output chains directly into the caloric property set;
+      unit :func:`residual_properties` consumes) — populated only on
+      two-phase rows (both lanes NaN on single-phase/failed rows; the
+      single phase's density is one NPT property call away) — flash
+      output chains directly into the caloric property set;
     * ``phase`` (B,) int8: 0 = liquid, 1 = vapor, 2 = two-phase,
       -1 = failed.
 
-    All outputs are gradient-detached: the flash split carries no single
-    stationary re-attachment identity (the envelope theorem covers only
-    the total Gibbs energy), so beta/x/y gradients are not re-attached.
+    With ``gradients=False`` (default) every output is gradient-detached
+    (the solve itself always is).  With ``gradients=True``, derivatives
+    of beta/x/y/rho w.r.t. parameters, kij, T, z, AND p are re-attached
+    by the implicit-function theorem on the full flash system (see
+    :func:`feos_tpu.solvers.flash.flash_implicit_gradients`) — the
+    "differentiable flash" for fitting to two-phase split data.  The
+    exact-phi second-order graph it needs is traced only under AD.
     """
     sg = jax.lax.stop_gradient
-    parameters = sg(jnp.asarray(parameters, dtype=jnp.float64))
-    kij_s = None if kij is None else sg(jnp.asarray(kij, dtype=jnp.float64))
-    temperature = sg(jnp.asarray(temperature, dtype=jnp.float64))
-    z = sg(jnp.asarray(molefracs, dtype=jnp.float64))
-    pressure = sg(jnp.asarray(pressure, dtype=jnp.float64))
+    parameters = jnp.asarray(parameters, dtype=jnp.float64)
+    kij_a = None if kij is None else jnp.asarray(kij, dtype=jnp.float64)
+    temperature = jnp.asarray(temperature, dtype=jnp.float64)
+    z = jnp.asarray(molefracs, dtype=jnp.float64)
+    pressure = jnp.asarray(pressure, dtype=jnp.float64)
     n = jnp.shape(parameters)[1]
     if z.ndim == 1:
         if n != 2:
@@ -908,26 +928,64 @@ def flash(parameters, kij, temperature, molefracs, pressure, branches=None):
                 f"(B, {n}) composition matrix for {n}-component mixtures"
             )
         z = jnp.stack([z, 1.0 - z], axis=-1)
+    if not gradients:
+        parameters, temperature, z, pressure = map(
+            sg, (parameters, temperature, z, pressure)
+        )
+        kij_a = None if kij_a is None else sg(kij_a)
     br = branches if branches is not None else static_branches(parameters)
 
     # two-phase window from the library's own edge solvers at the feed
+    # (detached: the window feeds masks and solver initialization only)
+    kij_s = None if kij_a is None else sg(kij_a)
     p_bub, nan_b, y_bub = _incipient_property(
-        parameters, kij_s, temperature, z, pressure, bubble=True,
-        branches=br, full_output=True,
+        sg(parameters), kij_s, sg(temperature), sg(z), sg(pressure),
+        bubble=True, branches=br, full_output=True,
     )
     p_dew, nan_d, x_dew = _incipient_property(
-        parameters, kij_s, temperature, z, pressure, bubble=False,
-        branches=br, full_output=True,
+        sg(parameters), kij_s, sg(temperature), sg(z), sg(pressure),
+        bubble=False, branches=br, full_output=True,
     )
 
     p = MixParams.from_array(parameters)
-    kv, ev = _split_kij(kij_s, jnp.shape(parameters)[0])
+    kv, ev = _split_kij(kij_a, jnp.shape(parameters)[0])
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED
 
-    def run_flash(lnK0, beta0):
-        return _mix_flash_jit(
-            p, kv, ev, temperature, z, p_red, lnK0, beta0, branches=br
-        )
+    if not gradients:
+        def run_flash(lnK0, beta0, active):
+            return _mix_flash_jit(
+                p, kv, ev, temperature, z, p_red, lnK0, beta0, active,
+                branches=br
+            )
+    else:
+        from ..solvers.flash import flash_implicit_gradients, flash_resid
+
+        def run_flash(lnK0, beta0, active):
+            # lnK0/beta0/active ride in diff_args (captured tracers would
+            # leak out of the custom_jvp transform — see _mix_incipient_
+            # impl); their tangents are correctly ignored (the root does
+            # not depend on solver initialization)
+            def solve_fn(diff_args):
+                pd, kvd, evd, td, zd, prd, lnK0d, b0d, actd = diff_args
+                return _mix_flash_jit(
+                    pd, kvd, evd, td, zd, prd, lnK0d, b0d, actd,
+                    branches=br
+                )
+
+            def resid_fn(diff_args, v):
+                pd, kvd, evd, td, zd, prd, _, _, _ = diff_args
+
+                def item(pi, ki, ei, t, zi, pri, vi):
+                    pre = precompute_mix(pi, ki, ei, t)
+                    phi = lambda r: phi_mix_pre(pre, r, branches=br)
+                    return flash_resid(phi, zi, pri, vi)
+
+                return jax.vmap(item)(pd, kvd, evd, td, zd, prd, v)
+
+            return flash_implicit_gradients(
+                solve_fn, resid_fn,
+                (p, kv, ev, temperature, z, p_red, lnK0, beta0, active),
+            )
 
     from ..solvers.flash import flash_window
 
@@ -971,11 +1029,11 @@ class PcSaftMix:
         return mix_properties(self.parameters, self.kij, temperature, density,
                               branches=self.branches)
 
-    def flash(self, temperature, molefracs, pressure):
+    def flash(self, temperature, molefracs, pressure, gradients=False):
         """Batched isothermal pT flash at (T, p, z) — see :func:`flash`
         (beyond the reference surface)."""
         return flash(self.parameters, self.kij, temperature, molefracs,
-                     pressure, branches=self.branches)
+                     pressure, branches=self.branches, gradients=gradients)
 
     def bubble_point(self, temperature, liquid_molefracs, pressure,
                      full_output=False, state0=None, state_output=False):

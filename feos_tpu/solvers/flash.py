@@ -20,11 +20,15 @@ implements it TPU-first on top of the same batched building blocks as
   and the fugacity-coefficient K update;
 * converged rows freeze; failures come back as a mask, never exceptions.
 
-Everything runs under ``stop_gradient`` (the detached-solver convention).
-Parameter gradients of the *total Gibbs energy* at the flash solution are
-exact by the envelope theorem (the split minimizes G at fixed T, p, z);
-gradients of beta/x/y themselves would need the full implicit-function
-system and are not re-attached yet.
+The SOLVE runs under ``stop_gradient`` (the detached-solver convention);
+derivatives of the flash outputs (beta, x, y, densities) w.r.t. every
+input (EOS parameters, kij, T, z, p) are re-attached by the implicit-
+function theorem on the full flash system — see
+:func:`flash_implicit_gradients` — the same strategy as the VLE
+stationary identities, but through a linear solve of the (2n+1)-square
+equilibrium Jacobian instead of a closed-form envelope identity (the
+flash split has no single scalar output whose envelope theorem covers
+the composition outputs).
 
 Reduced units throughout: densities in A^-3, p~ = p A^3/(kB T).
 """
@@ -34,7 +38,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .vle import _states_eos, _MAX_NPT_ITER
+from .vle import _HESS_RHO_FLOOR_F32, _MAX_NPT_ITER, _states_eos, _states_hess
 
 
 def flash_window(z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew,
@@ -42,13 +46,21 @@ def flash_window(z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew,
     """Shared facade logic: two-phase window classification, K-factor
     initialization from the edge solutions, and output packing.
 
-    ``run_flash(lnK0, beta0) -> (beta, x, y, lnr, ok)`` is the model's
-    jitted batched flash core.  Returns ``(vapor_frac, x, y, rho, phase)``
-    — see models.pcsaft_mix.flash for the full contract.
+    ``run_flash(lnK0, beta0, active) -> (beta, x, y, lnr, ok)`` is the
+    model's jitted batched flash core; ``active`` marks the rows inside
+    the two-phase window (the rest carry benign filler inputs and freeze
+    at iteration 0 so they cannot drag the batch-synchronized loop).
+    Returns ``(vapor_frac, x, y, rho, phase)`` — see
+    models.pcsaft_mix.flash for the full contract.  ``rho`` is populated
+    only on two-phase rows (single-phase rows report NaN in both lanes;
+    the caller knows which single phase exists from ``phase`` and can get
+    its density from an NPT property call).
     """
     ok_b, ok_d = ~nan_b, ~nan_d
     is_liq = ok_b & (pressure >= p_bub)
-    is_vap = ok_d & (pressure <= p_dew)
+    # at the degenerate p == p_bub == p_dew point both edge tests hold;
+    # classify as liquid only (the phases are indistinguishable there)
+    is_vap = ok_d & (pressure <= p_dew) & ~is_liq
     two_phase = ok_b & ok_d & (pressure < p_bub) & (pressure > p_dew)
 
     # K-factor initialization: log-interpolate the edge solutions in ln p
@@ -65,7 +77,7 @@ def flash_window(z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew,
         jnp.full_like(lnK_bub, jnp.log(2.0)),  # benign filler rows
     )
 
-    beta, x, y, lnr, ok = run_flash(lnK0, w)
+    beta, x, y, lnr, ok = run_flash(lnK0, w, two_phase)
     ok = ok & two_phase
 
     nanv = jnp.full_like(z, jnp.nan)
@@ -106,12 +118,14 @@ def _rachford_rice(z, K, beta0):
     return jax.lax.fori_loop(0, 24, body, jnp.clip(beta0, 1e-12, 1.0 - 1e-12))
 
 
-def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
+def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0, phi_fn_jac=None,
+             active=None):
     """One isothermal flash item (reduced units, f64, gradient-free).
 
     Args:
       phi_fn: reduced Helmholtz density closure rho (n,) -> phi (f64;
-        association in Q form is fine — only first derivatives are used).
+        association in Q form is fine — only exact VALUES and FIRST
+        derivatives are consumed from it).
       z: feed composition (n,).
       p_red: target reduced pressure p~.
       md3: per-component m d^3 (packing-fraction scale, from the
@@ -120,11 +134,53 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
       beta0: initial vapor fraction estimate.
       lnr0: initial (2,) log total molar densities [liquid, vapor]; pass
         NaN to self-initialize (liquid at eta=0.5, vapor ideal-gas).
+      phi_fn_jac: EXACT phi closure over f32-cast parameters, used for
+        the NPT Newton slope dp~/dln rho and the final mechanical-
+        stability test.  These are SECOND derivatives of phi, which the
+        Q form gets wrong (its second derivatives miss the dX/drho
+        association terms — the library-wide convention, see
+        models.pcsaft_mix._mix_incipient_impl), so a Q-form slope can
+        slow Newton or misjudge stability at strong association.
+        (Measured on the cross-associating test row: Q-form and exact
+        phi VALUES and first derivatives agree to ~1e-16 at the
+        converged site fractions — the residual path needs no change —
+        but only the exact phi makes the slope/stability test
+        principled.)  f32 is ample for a Newton slope and a sign test;
+        the residual stays exact f64.  When None, the slope falls back
+        to a jvp through ``phi_fn`` (only correct if ``phi_fn`` is the
+        exact phi).
+      active: optional scalar bool; False marks a filler row (outside
+        the two-phase window) that must freeze at iteration 0 instead of
+        iterating on nonsense until _MAX_SS_ITER (the batched while_loop
+        is batch-synchronized — one dragging row stalls every lane).
 
     Returns ``(beta, x, y, lnr, ok)`` with x/y the liquid/vapor
     compositions, ``lnr`` the (2,) converged log total densities.
     """
     dtype = z.dtype
+
+    def pt_and_slope(comps, lr):
+        """(p~ (2,), dp~/dln rho_t (2,)) of the two stacked phases at
+        fixed compositions: values from the f64 (Q-form) phi, slopes
+        analytically from f32 exact-phi Hessians (products with the true
+        f64 densities happen outside, so the assembly stays finite at
+        vapor densities that underflow f32 — same scheme as
+        vle._mix_newton.jac_from_hess).  With p~ = sum(rho) +
+        sum_i rho_i g_i - phi, the ray derivative along rho = c * rho_t
+        is dp~/dln rho_t = sum(rho) + rho^T H rho."""
+        R = comps * jnp.exp(lr)[:, None]
+        pt, _ = _states_eos(phi_fn, R)
+        if phi_fn_jac is None:
+            def pt_of(lr_):
+                R_ = comps * jnp.exp(lr_)[:, None]
+                pt_, _ = _states_eos(phi_fn, R_)
+                return pt_
+            _, dpt = jax.jvp(pt_of, (lr,), (jnp.ones_like(lr),))
+        else:
+            R32 = jnp.maximum(R, _HESS_RHO_FLOOR_F32).astype(jnp.float32)
+            H = _states_hess(phi_fn_jac, R32).astype(dtype)
+            dpt = jnp.sum(R, axis=1) + jnp.einsum("ki,kij,kj->k", R, H, R)
+        return pt, dpt
 
     def comps_of(lnK, beta):
         K = jnp.exp(lnK)
@@ -145,19 +201,15 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
 
     def npt_steps(lnr, x, y, n_steps):
         """n warm Newton steps on [ln rho_L, ln rho_V] at fixed (x, y),
-        both phases through one stacked phi graph per step."""
+        both phases through one stacked phi graph per step (f64 residual,
+        exact-phi f32 slope — see pt_and_slope)."""
         comps = jnp.stack([x, y])
         # packing-fraction cap per lane (hs diverges at zeta3 -> 1; cap at
         # the close-packing-ish 0.74 like solvers.vle._mix_init)
         lr_cap = jnp.log(0.74 / (jnp.pi / 6.0 * comps @ md3))
 
-        def pt_of(lr):
-            R = comps * jnp.exp(lr)[:, None]
-            pt, _ = _states_eos(phi_fn, R)
-            return pt
-
         def body(_, lr):
-            pt, dpt = jax.jvp(pt_of, (lr,), (jnp.ones_like(lr),))
+            pt, dpt = pt_and_slope(comps, lr)
             newton = (pt - p_red) / jnp.where(dpt > 0.0, dpt, 1.0)
             # dpt <= 0: the iterate fell into the mechanically unstable
             # region — walk the liquid lane denser, the vapor lane thinner
@@ -194,7 +246,8 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
         beta = jnp.where(upd, b, beta)
         return lnK, beta, lnr, it + 1, done | converged | bad
 
-    state0 = (lnK0, beta_i, lnr_i, 0, jnp.asarray(False))
+    done0 = jnp.asarray(False) if active is None else ~active
+    state0 = (lnK0, beta_i, lnr_i, 0, done0)
     lnK, beta, lnr, _, done = jax.lax.while_loop(ss_cond, ss_body, state0)
 
     # final NPT polish at the POST-loop compositions (the last lnK update
@@ -205,21 +258,21 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
     lnr = npt_steps(lnr, x, y, _N_NPT_WARM)
     R = jnp.stack([x, y]) * jnp.exp(lnr)[:, None]
     pt, g = _states_eos(phi_fn, R)
-
-    def pt_of_final(lr):
-        Rf = jnp.stack([x, y]) * jnp.exp(lr)[:, None]
-        ptf, _ = _states_eos(phi_fn, Rf)
-        return ptf
-
-    _, dpt = jax.jvp(pt_of_final, (lnr,), (jnp.ones_like(lnr),))
+    _, dpt = pt_and_slope(jnp.stack([x, y]), lnr)
     res_K = jnp.max(jnp.abs(lnK - (g[0] - g[1] + lnr[0] - lnr[1])))
-    # acceptance mirrors solvers.vle: residual bars sit above the TPU's
-    # emulated-f64 evaluation-noise floor (~1e-9 relative on p~), far
-    # below any genuinely unconverged state
+    # acceptance mirrors solvers.vle (noise-calibrated): the liquid p~ is
+    # a cancellation of O(phi) terms, so its f64 evaluation-noise floor is
+    # ~ulp x the pressure-row stiffness rho dp~/drho (= dpt here), which
+    # at sub-Pa pressures exceeds any fixed relative bar (measured: the
+    # cross-associating dew edge at 0.44 Pa sits 2.5e-4 RELATIVE from the
+    # target while fully converged).  Same 6e-12 stiffness coefficient as
+    # mix_vle's p_noise (2x margin over the worst measured TPU
+    # emulated-f64 batch layouts; XLA:CPU true f64 sits ~3 decades below)
+    p_noise = 6e-12 * dpt
     ok = (
         done
         & (res_K < 1e-7)
-        & jnp.all(jnp.abs(pt - p_red) < 1e-6 * p_red)
+        & jnp.all(jnp.abs(pt - p_red) < 1e-6 * p_red + p_noise)
         & jnp.all(dpt > 0.0)          # both phases mechanically stable
         & (lnr[0] > lnr[1])           # liquid denser than vapor
         & (jnp.max(jnp.abs(lnK)) > 1e-6)  # non-trivial split
@@ -227,3 +280,112 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0):
         & jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(y))
     )
     return b, x, y, lnr, ok
+
+
+def flash_resid(phi_fn, z, p_red, v):
+    """Full flash residual F(v) = 0 at the packed per-item state
+    ``v = [ln R_L (n), ln R_V (n), beta]`` (R = partial molar densities).
+
+    The 2n+1 equations (one redundant material balance dropped — the
+    component balances sum to the identity 1 = beta + (1-beta)):
+
+    * ``mu_i(R_L) - mu_i(R_V)`` — total chemical potential equality (n);
+    * ``p~(R_L) - p~_spec``, ``p~(R_V) - p~_spec`` — isobaric closure (2);
+    * ``beta y_i + (1-beta) x_i - z_i``, i < n-1 — material balance (n-1).
+
+    ``phi_fn`` must be the EXACT phi (the implicit-function Jacobian
+    consumes second derivatives, which the Q form gets wrong).  Used only
+    under AD (:func:`flash_implicit_gradients`), never in the solve loop.
+    """
+    n = z.shape[0]
+    R = jnp.stack([jnp.exp(v[:n]), jnp.exp(v[n:2 * n])])
+    beta = v[2 * n]
+    pt, g = _states_eos(phi_fn, R)
+    mu = v[:2 * n].reshape(2, n) + g
+    x = R[0] / jnp.sum(R[0])
+    y = R[1] / jnp.sum(R[1])
+    return jnp.concatenate([
+        mu[0] - mu[1],
+        pt - p_red,
+        (beta * y + (1.0 - beta) * x - z)[: n - 1],
+    ])
+
+
+def flash_implicit_gradients(solve_fn, resid_fn, diff_args):
+    """Couple the gradient-free batched flash solve to implicit-function
+    derivatives of the full equilibrium system.
+
+    ``solve_fn(diff_args) -> (beta (B,), x (B,n), y (B,n), lnr (B,2),
+    ok (B,))`` runs the detached solver core; ``resid_fn(diff_args, v) ->
+    (B, 2n+1)`` evaluates :func:`flash_resid` through the model's exact
+    phi at the packed batched state ``v``.  Values come from the solver;
+    tangents solve the linearized system
+
+        dF/dv . dv = - dF/dtheta . dtheta
+
+    at the converged root (J is (2n+1)-square per item — 5x5 for a
+    binary — batched ``jnp.linalg.solve``).  Implemented as
+    ``jax.custom_jvp`` so the exact-phi second-order residual graph is
+    traced ONLY under AD, exactly like
+    :func:`vle.solve_with_identity_gradients`; forward-only property
+    evaluation never pays it.  Failed lanes get zero tangents (their
+    values are filler; downstream masking keeps them out of any loss).
+
+    Tangent unpacking: with rho_t = sum_i R_i and w = R/rho_t,
+    ``d ln rho_t = sum_i w_i d ln R_i`` and
+    ``d w_i = w_i (d ln R_i - d ln rho_t)``.
+    """
+
+    @jax.custom_jvp
+    def inner(diff_args):
+        beta, x, y, lnr, ok = solve_fn(diff_args)
+        # sanitize failed lanes: the jvp rule evaluates the residual
+        # Jacobian at this state, and NaN there would poison the batched
+        # linear solve's own lane (masked after) — but an all-NaN v also
+        # breaks jnp.linalg.solve gradients upstream of the mask on some
+        # backends, so park failed lanes at a benign interior state
+        n = x.shape[1]
+        beta = jnp.where(ok, beta, 0.5)
+        x = jnp.where(ok[:, None], x, 1.0 / n)
+        y = jnp.where(ok[:, None], y, 1.0 / n)
+        lnr_park = jnp.log(jnp.asarray([1e-3, 1e-5], dtype=lnr.dtype))
+        lnr = jnp.where(ok[:, None], lnr, lnr_park)
+        return beta, x, y, lnr, ok
+
+    @inner.defjvp
+    def inner_jvp(primals, tangents):
+        import numpy as np
+
+        (da,), (dda,) = primals, tangents
+        beta, x, y, lnr, ok = inner(da)
+        n = x.shape[1]
+        m = 2 * n + 1
+        v = jnp.concatenate([
+            jnp.log(x) + lnr[:, :1],
+            jnp.log(y) + lnr[:, 1:],
+            beta[:, None],
+        ], axis=1)
+
+        # J[b, i, j] = dF_i/dv_j per item, via m forward sweeps
+        eye = jnp.eye(m, dtype=v.dtype)
+        Jcols = jax.vmap(
+            lambda e: jax.jvp(
+                lambda vv: resid_fn(da, vv),
+                (v,), (jnp.broadcast_to(e, v.shape),),
+            )[1]
+        )(eye)                                   # (m, B, m)
+        J = jnp.transpose(Jcols, (1, 2, 0))      # (B, m_row, m_col)
+        _, dFdth = jax.jvp(lambda d: resid_fn(d, v), (da,), (dda,))
+        dv = -jnp.linalg.solve(J, dFdth[..., None])[..., 0]
+        dv = jnp.where(ok[:, None], dv, 0.0)
+
+        dlnRL, dlnRV, dbeta = dv[:, :n], dv[:, n:2 * n], dv[:, 2 * n]
+        dlnr_l = jnp.sum(x * dlnRL, axis=1)
+        dlnr_v = jnp.sum(y * dlnRV, axis=1)
+        dx = x * (dlnRL - dlnr_l[:, None])
+        dy = y * (dlnRV - dlnr_v[:, None])
+        dlnr = jnp.stack([dlnr_l, dlnr_v], axis=1)
+        f0 = np.zeros(ok.shape, dtype=jax.dtypes.float0)
+        return (beta, x, y, lnr, ok), (dbeta, dx, dy, dlnr, f0)
+
+    return inner(diff_args)

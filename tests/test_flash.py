@@ -52,19 +52,39 @@ def edges():
 
 def _check_consistency(p, beta, x, y, rho, rtol_fug=1e-7):
     """Material balance + isofugacity + isobaric closure through the
-    independent property module."""
+    independent property module.
+
+    The LIQUID-lane closure carries an absolute allowance for the p~
+    cancellation noise floor: p~_L is a cancellation of O(phi) terms, so
+    its f64 evaluation noise is ~1e-15 reduced (measured ~9e-16 on the
+    cross-associating row), which at low pressures dwarfs any fixed
+    relative bar — the same physics solvers.vle documents for dew-point
+    acceptance.  2e-14 reduced = ~20x margin over the measured floor.
+    The vapor p~ ~ sum(rho_V) has no cancellation: tight rtol only.
+    """
+    from feos_tpu.units import REDUCED_TO_PA_PER_KT
+
     z = np.stack([Z1, 1.0 - Z1], axis=-1)
     recon = beta[:, None] * y + (1.0 - beta[:, None]) * x
     np.testing.assert_allclose(recon, z, rtol=0, atol=1e-9)
 
     props_l = mix_properties(PARAMS, KIJ, T, x * rho[:, :1])
     props_v = mix_properties(PARAMS, KIJ, T, y * rho[:, 1:])
-    np.testing.assert_allclose(np.asarray(props_l.pressure), p, rtol=1e-8)
+    noise_pa = 2e-14 * T * REDUCED_TO_PA_PER_KT
+    assert np.all(
+        np.abs(np.asarray(props_l.pressure) - p) < 1e-8 * p + noise_pa
+    )
     np.testing.assert_allclose(np.asarray(props_v.pressure), p, rtol=1e-8)
-    # isofugacity at equal pressure: x_i phi_L_i = y_i phi_V_i
+    # isofugacity at equal pressure: x_i phi_L_i = y_i phi_V_i.  The
+    # liquid state sits off the exact root by its pressure noise floor,
+    # which enters ln f with an O(1) factor: widen the bar additively by
+    # the relative pressure allowance.
     f_l = x * np.exp(np.asarray(props_l.ln_phi))
     f_v = y * np.exp(np.asarray(props_v.ln_phi))
-    np.testing.assert_allclose(f_l, f_v, rtol=rtol_fug)
+    bar = (rtol_fug + noise_pa / p)[:, None]
+    assert np.all(np.abs(f_l - f_v) <= bar * np.abs(f_v)), (
+        np.abs(f_l / f_v - 1.0), bar
+    )
 
 
 def test_two_phase_split(edges):
@@ -83,12 +103,14 @@ def test_bubble_edge_limit(edges):
     vapor composition."""
     eos, p_bub, p_dew, y_bub, _ = edges
     # blend in ln p: the associating row's window spans 3 decades, so a
-    # linear blend would not be anywhere near the edge
-    p = np.exp(0.995 * np.log(p_bub) + 0.005 * np.log(p_dew))
+    # linear blend would not be anywhere near the edge.  0.999 keeps the
+    # first-order departure beta*|y - x| (exact by material balance)
+    # under the 5e-3 composition bar on every row.
+    p = np.exp(0.999 * np.log(p_bub) + 0.001 * np.log(p_dew))
     beta, x, y, rho, phase = eos.flash(T, Z1, p)
     beta, x, y, phase = map(np.asarray, (beta, x, y, phase))
     assert np.all(phase == 2)
-    assert np.all(beta < 0.05)
+    assert np.all(beta < 0.02)
     z = np.stack([Z1, 1.0 - Z1], axis=-1)
     np.testing.assert_allclose(x, z, atol=5e-3)
     np.testing.assert_allclose(y, y_bub, atol=5e-3)
@@ -97,11 +119,11 @@ def test_bubble_edge_limit(edges):
 
 def test_dew_edge_limit(edges):
     eos, p_bub, p_dew, _, x_dew = edges
-    p = np.exp(0.005 * np.log(p_bub) + 0.995 * np.log(p_dew))
+    p = np.exp(0.001 * np.log(p_bub) + 0.999 * np.log(p_dew))
     beta, x, y, rho, phase = eos.flash(T, Z1, p)
     beta, x, y, phase = map(np.asarray, (beta, x, y, phase))
     assert np.all(phase == 2)
-    assert np.all(beta > 0.95)
+    assert np.all(beta > 0.98)
     z = np.stack([Z1, 1.0 - Z1], axis=-1)
     np.testing.assert_allclose(y, z, atol=5e-3)
     np.testing.assert_allclose(x, x_dew, atol=5e-3)
