@@ -618,6 +618,107 @@ bool mix_vle_cpp(const Par& p, double T, const double z[2], double p0,
            !trivial && ordered && pt_eq > 0.0;
 }
 
+// Isothermal two-phase TP split at (T, p~, z) — independent oracle for
+// feos_tpu/solvers/flash.py.  The two-phase window comes from the in-file
+// bubble/dew solves; K-factors start from a ln-p interpolation of the two
+// edge incipient compositions; successive substitution with a Rachford-Rice
+// Newton and per-phase NPT solves closes the split.  Returns the phase
+// code (0 liquid, 1 vapor, 2 two-phase, -1 failed).
+template <class Par>
+int flash_tp_cpp(const Par& p, double T, const double z[2], double pt_target,
+                 double* beta_out, double x[2], double y[2], double rho2[2]) {
+    double rib[2], rbb[2], pt_b;   // bubble: incipient vapor
+    double rid[2], rbd[2], pt_d;   // dew: incipient liquid
+    bool okb = mix_vle_cpp(p, T, z, pt_target, true, rib, rbb, &pt_b);
+    bool okd = mix_vle_cpp(p, T, z, pt_target, false, rid, rbd, &pt_d);
+    if (!okb || !okd) return -1;
+    if (pt_target >= pt_b) return 0;
+    if (pt_target <= pt_d) return 1;
+
+    double yb[2] = {rib[0] / (rib[0] + rib[1]), rib[1] / (rib[0] + rib[1])};
+    double xd[2] = {rid[0] / (rid[0] + rid[1]), rid[1] / (rid[0] + rid[1])};
+    double w = (std::log(pt_b) - std::log(pt_target)) /
+               (std::log(pt_b) - std::log(pt_d));
+    w = std::clamp(w, 0.02, 0.98);
+    double lnK[2];
+    for (int i = 0; i < 2; ++i)
+        lnK[i] = (1.0 - w) * std::log(yb[i] / z[i]) +
+                 w * std::log(z[i] / xd[i]);
+
+    double md3[2];
+    p.comp_md3(T, md3);
+    double beta = w;
+    double rho_l = rbb[0] + rbb[1];          // bubble-side liquid density
+    double rho_v = rbd[0] + rbd[1];          // dew-side vapor density
+    bool conv = false;
+    double res_mu = 1e300;
+    for (int it = 0; it < 200; ++it) {
+        // Rachford-Rice: clipped Newton (h is monotone decreasing on [0,1])
+        double K[2] = {std::exp(lnK[0]), std::exp(lnK[1])};
+        beta = std::clamp(beta, 1e-12, 1.0 - 1e-12);
+        for (int rr = 0; rr < 24; ++rr) {
+            double h = 0.0, dh = 0.0;
+            for (int i = 0; i < 2; ++i) {
+                double den = 1.0 + beta * (K[i] - 1.0);
+                h += z[i] * (K[i] - 1.0) / den;
+                dh -= z[i] * (K[i] - 1.0) * (K[i] - 1.0) / (den * den);
+            }
+            double step = h / (dh < 0.0 ? dh : -1.0);
+            beta = std::clamp(beta - step, 1e-12, 1.0 - 1e-12);
+        }
+        double xs = 0.0, ys = 0.0;
+        for (int i = 0; i < 2; ++i) {
+            x[i] = z[i] / (1.0 + beta * (K[i] - 1.0));
+            xs += x[i];
+        }
+        for (int i = 0; i < 2; ++i) {
+            x[i] /= xs;
+            y[i] = K[i] * x[i];
+            ys += y[i];
+        }
+        for (int i = 0; i < 2; ++i) y[i] /= ys;
+
+        double cap_l = std::log(0.74 / (PI / 6.0 * (x[0] * md3[0] + x[1] * md3[1])));
+        double cap_v = std::log(0.74 / (PI / 6.0 * (y[0] * md3[0] + y[1] * md3[1])));
+        if (!npt_mix(p, T, x, pt_target, rho_l, 1.0, cap_l, &rho_l)) return -1;
+        if (!npt_mix(p, T, y, pt_target, rho_v, -1.0, cap_v, &rho_v)) return -1;
+        MixEos ol = eos_mix(p, T, x[0] * rho_l, x[1] * rho_l);
+        MixEos ov = eos_mix(p, T, y[0] * rho_v, y[1] * rho_v);
+        // equilibrium: mu_i^L = mu_i^V with mu_i = ln rho_i + g_i, so
+        // ln K = ln(y/x) updates by the total-potential mismatch
+        double dmax = 0.0;
+        for (int i = 0; i < 2; ++i) {
+            double d = ol.mu[i] - ov.mu[i];
+            lnK[i] += d;
+            dmax = std::max(dmax, std::abs(d));
+        }
+        res_mu = dmax;
+        if (dmax < 1e-11) {
+            conv = true;
+            break;
+        }
+        if (!std::isfinite(dmax)) return -1;
+    }
+    if (!conv) return -1;
+
+    // final acceptance at the returned state: both phases on stable
+    // branches at the target pressure (with the liquid-cancellation noise
+    // allowance of mix_vle_cpp), ordered densities, interior split
+    MixEos ol = eos_mix(p, T, x[0] * rho_l, x[1] * rho_l);
+    MixEos ov = eos_mix(p, T, y[0] * rho_v, y[1] * rho_v);
+    double dp_l = (ol.dpt[0] * x[0] + ol.dpt[1] * x[1]) * rho_l;
+    double dp_v = (ov.dpt[0] * y[0] + ov.dpt[1] * y[1]) * rho_v;
+    bool okp = std::abs(ol.pt - pt_target) < 1e-6 * pt_target + 6e-12 * dp_l &&
+               std::abs(ov.pt - pt_target) < 1e-6 * pt_target + 6e-12 * dp_v;
+    if (!(okp && dp_l > 0.0 && dp_v > 0.0 && rho_l > rho_v &&
+          beta > 1e-10 && beta < 1.0 - 1e-10 && res_mu < 1e-9))
+        return -1;
+    *beta_out = beta;
+    rho2[0] = rho_l;
+    rho2[1] = rho_v;
+    return 2;
+}
+
 // ---------------------------------------------------------------------------
 // Heterosegmented gc-PC-SAFT (binary): segment-resolved hard chain and
 // dispersion, component-level dipole/association on the gc mixing-rule
@@ -914,6 +1015,50 @@ void feos_mix_vle(const double* params, const double* kij,
     }
 }
 
+// Batched isothermal TP flash (independent oracle for
+// feos_tpu/solvers/flash.py): params (n, 2, 8), kij (n, 2), p in REDUCED
+// units.  Outputs: beta (n), x/y (n, 2) liquid/vapor compositions,
+// rho (n, 2) = [rho_L, rho_V] total molar densities (A^-3), phase (n)
+// int8 = 0 liquid / 1 vapor / 2 two-phase / -1 failed.  Single-phase and
+// failed rows return NaN in beta/x/y/rho (beta 0/1 convention is left to
+// the Python caller, matching solvers.flash.flash_window).
+void feos_mix_flash(const double* params, const double* kij,
+                    const double* temperature, const double* molefracs,
+                    const double* p_red, int64_t n, double* beta_out,
+                    double* x_out, double* y_out, double* rho_out,
+                    int8_t* phase) {
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int64_t i = 0; i < n; ++i) {
+        MixPar p;
+        for (int c = 0; c < 2; ++c) {
+            const double* row = params + 16 * i + 8 * c;
+            p.m[c] = row[0];
+            p.sigma[c] = row[1];
+            p.eps_k[c] = row[2];
+            p.mu[c] = row[3];
+            p.kappa_ab[c] = row[4];
+            p.eps_k_ab[c] = row[5];
+            p.na[c] = row[6];
+            p.nb[c] = row[7];
+        }
+        p.kij = kij[2 * i];
+        p.eps_aibj = kij[2 * i + 1];
+        double z[2] = {molefracs[i], 1.0 - molefracs[i]};
+        double beta = 0.0 / 0.0;
+        double x[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double y[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double r2[2] = {0.0 / 0.0, 0.0 / 0.0};
+        int ph = flash_tp_cpp(p, temperature[i], z, p_red[i], &beta, x, y, r2);
+        phase[i] = (int8_t)ph;
+        beta_out[i] = (ph == 2) ? beta : 0.0 / 0.0;
+        for (int c = 0; c < 2; ++c) {
+            x_out[2 * i + c] = (ph == 2) ? x[c] : 0.0 / 0.0;
+            y_out[2 * i + c] = (ph == 2) ? y[c] : 0.0 / 0.0;
+            rho_out[2 * i + c] = (ph == 2) ? r2[c] : 0.0 / 0.0;
+        }
+    }
+}
+
 // Batched mixture Helmholtz derivatives (phi, p~, mu_1, mu_2) for
 // cross-validation of the differentiable core.
 void feos_mix_derivatives(const double* params, const double* kij,
@@ -1013,6 +1158,35 @@ void feos_gc_vle(int64_t S, const double* sigma, const double* eps_k,
             rho_out[4 * i + 3] = rho_inc[1];
         }
         pt_out[i] = pt;
+    }
+}
+
+// Batched gc isothermal TP flash (same contract as feos_mix_flash).
+void feos_gc_flash(int64_t S, const double* sigma, const double* eps_k,
+                   const double* kab, int64_t P, const int32_t* bond_a,
+                   const int32_t* bond_b, const double* m,
+                   const double* bonds_p, const double* phi_corr,
+                   const double* comp, const double* temperature,
+                   const double* molefracs, const double* p_red, int64_t n,
+                   double* beta_out, double* x_out, double* y_out,
+                   double* rho_out, int8_t* phase) {
+#pragma omp parallel for schedule(dynamic, 4)
+    for (int64_t i = 0; i < n; ++i) {
+        GcPar g = make_gc_par(S, sigma, eps_k, kab, P, bond_a, bond_b, m,
+                              bonds_p, phi_corr, comp, i);
+        double z[2] = {molefracs[i], 1.0 - molefracs[i]};
+        double beta = 0.0 / 0.0;
+        double x[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double y[2] = {0.0 / 0.0, 0.0 / 0.0};
+        double r2[2] = {0.0 / 0.0, 0.0 / 0.0};
+        int ph = flash_tp_cpp(g, temperature[i], z, p_red[i], &beta, x, y, r2);
+        phase[i] = (int8_t)ph;
+        beta_out[i] = (ph == 2) ? beta : 0.0 / 0.0;
+        for (int c = 0; c < 2; ++c) {
+            x_out[2 * i + c] = (ph == 2) ? x[c] : 0.0 / 0.0;
+            y_out[2 * i + c] = (ph == 2) ? y[c] : 0.0 / 0.0;
+            rho_out[2 * i + c] = (ph == 2) ? r2[c] : 0.0 / 0.0;
+        }
     }
 }
 

@@ -48,7 +48,15 @@ def _load():
         dp, dp, dp, dp, dp, ctypes.c_int64, ctypes.c_int32, dp, dp, u8
     ]
     lib.feos_mix_derivatives.argtypes = [dp, dp, dp, dp, ctypes.c_int64, dp]
+    i8 = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    lib.feos_mix_flash.argtypes = [
+        dp, dp, dp, dp, dp, ctypes.c_int64, dp, dp, dp, dp, i8
+    ]
     i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.feos_gc_flash.argtypes = [
+        ctypes.c_int64, dp, dp, dp, ctypes.c_int64, i32, i32, dp, dp, dp, dp,
+        dp, dp, dp, ctypes.c_int64, dp, dp, dp, dp, i8,
+    ]
     lib.feos_gc_vle.argtypes = [
         ctypes.c_int64, dp, dp, dp, ctypes.c_int64, i32, i32, dp, dp, dp, dp,
         dp, dp, dp, ctypes.c_int64, ctypes.c_int32, dp, dp, u8,
@@ -151,6 +159,70 @@ def mix_vle_densities(parameters, kij, temperature, molefracs, pressure, bubble)
     )
     p_pa = pt * temperature / PA_PER_KT_TO_REDUCED
     return rho, p_pa, ok.astype(bool)
+
+
+def mix_flash(parameters, kij, temperature, molefracs, pressure):
+    """Batched isothermal TP flash — the independent oracle for
+    :func:`feos_tpu.models.pcsaft_mix.flash`.
+
+    ``pressure`` in Pa.  Returns ``(beta (n,), x (n, 2), y (n, 2),
+    rho (n, 2) = [rho_L, rho_V] in A^-3, phase (n,) int8)`` with the
+    :func:`solvers.flash.flash_window` phase codes (0 liquid, 1 vapor,
+    2 two-phase, -1 failed); beta/x/y/rho are NaN off two-phase rows.
+    """
+    lib = _load()
+    parameters = np.ascontiguousarray(parameters, dtype=np.float64)
+    n = parameters.shape[0]
+    kij = (
+        np.zeros((n, 2))
+        if kij is None
+        else np.ascontiguousarray(kij, dtype=np.float64)
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    molefracs = np.ascontiguousarray(molefracs, dtype=np.float64)
+    p_red = np.ascontiguousarray(
+        np.asarray(pressure, dtype=np.float64)
+        / temperature
+        * PA_PER_KT_TO_REDUCED
+    )
+    beta = np.empty(n, dtype=np.float64)
+    x = np.empty((n, 2), dtype=np.float64)
+    y = np.empty((n, 2), dtype=np.float64)
+    rho = np.empty((n, 2), dtype=np.float64)
+    phase = np.empty(n, dtype=np.int8)
+    lib.feos_mix_flash(
+        parameters, kij, temperature, molefracs, p_red, n, beta, x, y, rho,
+        phase,
+    )
+    return beta, x, y, rho, phase
+
+
+def gc_flash(gc_params, temperature, molefracs, pressure):
+    """Batched gc isothermal TP flash — the independent oracle for
+    :func:`feos_tpu.models.gc_pcsaft.gc_flash`; same contract as
+    :func:`mix_flash`."""
+    lib = _load()
+    S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp = _gc_pack(
+        gc_params
+    )
+    temperature = np.ascontiguousarray(temperature, dtype=np.float64)
+    molefracs = np.ascontiguousarray(molefracs, dtype=np.float64)
+    p_red = np.ascontiguousarray(
+        np.asarray(pressure, dtype=np.float64)
+        / temperature
+        * PA_PER_KT_TO_REDUCED
+    )
+    n = temperature.shape[0]
+    beta = np.empty(n, dtype=np.float64)
+    x = np.empty((n, 2), dtype=np.float64)
+    y = np.empty((n, 2), dtype=np.float64)
+    rho = np.empty((n, 2), dtype=np.float64)
+    phase = np.empty(n, dtype=np.int8)
+    lib.feos_gc_flash(
+        S, sigma, eps_k, kab, P, ba, bb, m, bonds_p, phi_corr, comp,
+        temperature, molefracs, p_red, n, beta, x, y, rho, phase,
+    )
+    return beta, x, y, rho, phase
 
 
 def _gc_pack(gc_params):

@@ -217,3 +217,90 @@ def test_gc_caloric_vs_oracle_fd(golden_gc_eos):
         lambda t: cpu_backend.gc_derivatives(eos.params, t, rho)[0],
         T, rho.sum(axis=1), props, rtol=1e-5,
     )
+
+
+def test_mix_flash_match_cpp_oracle():
+    """TP flash: JAX vs the independent C++ oracle (flash_tp_cpp) over the
+    test_flash systems at mid-window pressures, plus single-phase
+    classification agreement.  Measured agreement on first landing:
+    beta ~1e-10, compositions ~1e-11, densities ~1e-12 rel — both
+    implementations converge isofugacity to their own noise floors."""
+    from feos_tpu.models.pcsaft_mix import PcSaftMix
+
+    params = np.array([
+        [[1.0, 3.5, 150.0, 0, 0, 0, 0, 0], [1.0, 3.5, 200.0, 0, 0, 0, 0, 0]],
+        [[1.0, 3.5, 150.0, 0, 0, 0, 0, 0], [1.0, 3.5, 200.0, 0, 0, 0, 0, 0]],
+        [[1.0, 3.5, 150.0, 0, 0.02, 1500.0, 1, 1],
+         [1.0, 3.5, 200.0, 0, 0.03, 2500.0, 1, 1]],
+        [[1.2, 3.4, 180.0, 1.5, 0, 0, 0, 0], [2.0, 3.7, 220.0, 0, 0, 0, 0, 0]],
+        [[1.0, 3.5, 150.0, 0, 0, 0, 0, 0], [1.0, 3.5, 200.0, 0, 0, 0, 0, 0]],
+        [[1.0, 3.5, 150.0, 0, 0, 0, 0, 0], [1.0, 3.5, 200.0, 0, 0, 0, 0, 0]],
+    ])
+    kij = np.array([[0.0, 0.0], [-0.15, 0.0], [-0.15, 1000.0], [-0.05, 0.0],
+                    [0.0, 0.0], [0.0, 0.0]])
+    T = np.array([150.0, 150.0, 150.0, 200.0, 145.0, 155.0])
+    z1 = np.array([0.4, 0.3, 0.5, 0.6, 0.2, 0.7])
+    eos = PcSaftMix(params, kij)
+    p0 = np.full(6, 1e5)
+    p_bub, nb = eos.bubble_point(T, z1, p0)
+    p_dew, nd = eos.dew_point(T, z1, p0)
+    assert not (np.asarray(nb).any() or np.asarray(nd).any())
+    p = np.sqrt(np.asarray(p_bub) * np.asarray(p_dew))
+
+    bj, xj, yj, rj, phj = map(np.asarray, eos.flash(T, z1, p))
+    bo, xo, yo, ro, pho = cpu_backend.mix_flash(params, kij, T, z1, p)
+    assert np.all(phj == 2) and np.all(pho == 2)
+    np.testing.assert_allclose(bo, bj, rtol=1e-8)
+    np.testing.assert_allclose(xo, xj, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(yo, yj, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(ro, rj, rtol=1e-9)
+
+    # single-phase classification agrees on both sides of the window
+    _, _, _, _, ph_l = cpu_backend.mix_flash(params, kij, T, z1,
+                                             1.2 * np.asarray(p_bub))
+    assert np.all(ph_l == 0)
+    _, _, _, _, ph_v = cpu_backend.mix_flash(params, kij, T, z1,
+                                             0.8 * np.asarray(p_dew))
+    assert np.all(ph_v == 1)
+
+
+def test_gc_flash_match_cpp_oracle():
+    """gc TP flash vs the C++ oracle (butane/propane at 300 K)."""
+    import json as _json
+
+    from feos_tpu.models.gc_pcsaft import GcPcSaftMix
+
+    segs = _json.loads(
+        (Path(__file__).parent / "sauer2014_hetero.json").read_text()
+    )
+    ident = [r["identifier"] for r in segs]
+    col = lambda k: np.array([r["model_record"].get(k, 0) for r in segs])
+    parameter = tuple(
+        col(k)
+        for k in ["m", "sigma", "epsilon_k", "mu", "kappa_ab",
+                  "epsilon_k_ab", "na", "nb"]
+    )
+    B = 3
+    eos = GcPcSaftMix(
+        ident,
+        parameter,
+        [[["CH3", "CH2", "CH2", "CH3"], ["CH3", "CH2", "CH3"]]] * B,
+        [[[[0, 1], [1, 2], [2, 3]], [[0, 1], [1, 2]]]] * B,
+        [],
+        None,
+    )
+    t = np.full(B, 300.0)
+    z1 = np.array([0.3, 0.5, 0.7])
+    p0 = np.full(B, 5e5)
+    p_bub, nb = eos.bubble_point(t, z1, p0)
+    p_dew, nd = eos.dew_point(t, z1, p0)
+    assert not (np.asarray(nb).any() or np.asarray(nd).any())
+    p = np.sqrt(np.asarray(p_bub) * np.asarray(p_dew))
+
+    bj, xj, yj, rj, phj = map(np.asarray, eos.flash(t, z1, p))
+    bo, xo, yo, ro, pho = cpu_backend.gc_flash(eos.params, t, z1, p)
+    assert np.all(phj == 2) and np.all(pho == 2)
+    np.testing.assert_allclose(bo, bj, rtol=1e-8)
+    np.testing.assert_allclose(xo, xj, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(yo, yj, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(ro, rj, rtol=1e-9)
