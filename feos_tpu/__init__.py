@@ -32,7 +32,7 @@ from . import units  # noqa: E402
 from .properties import ResidualProperties  # noqa: E402
 from .diagrams import BinaryPxy, BinaryTxy, binary_pxy, binary_txy  # noqa: E402
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "PcSaftPure",

@@ -94,7 +94,12 @@ def flash_window(z, pressure, p_bub, nan_b, y_bub, p_dew, nan_d, x_dew,
     return beta_out, x_out, y_out, rho, phase
 
 _MAX_SS_ITER = 200
-_N_NPT_WARM = 8
+# warm NPT steps per SS iteration: the densities move O(dlnK) between
+# iterations and Newton is quadratic from the previous root, so 4 steps
+# hold the density error far below the lnK convergence tolerance; the
+# final polish (outside the loop) keeps the full 8.
+_N_NPT_WARM = 4
+_N_NPT_POLISH = 8
 _LNK_TOL = 1e-10
 
 
@@ -226,17 +231,31 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0, phi_fn_jac=None,
     lnr_i = npt_steps(lnr_i, x_i, y_i, _MAX_NPT_ITER)
 
     def ss_cond(state):
-        _, _, _, it, done = state
+        _, _, _, it, done, _ = state
         return jnp.any(~done) & (it < _MAX_SS_ITER)
 
     def ss_body(state):
-        lnK, beta, lnr, it, done = state
+        lnK, beta, lnr, it, done, d_prev = state
         b, x, y = comps_of(lnK, beta)
         lnr_new = npt_steps(lnr, x, y, _N_NPT_WARM)
         R = jnp.stack([x, y]) * jnp.exp(lnr_new)[:, None]
         pt, g = _states_eos(phi_fn, R)
-        lnK_new = g[0] - g[1] + lnr_new[0] - lnr_new[1]
-        converged = jnp.max(jnp.abs(lnK_new - lnK)) < _LNK_TOL
+        lnK_ss = g[0] - g[1] + lnr_new[0] - lnr_new[1]
+        d = lnK_ss - lnK
+        # dominant-eigenvalue extrapolation (Michelsen's GDEM pattern):
+        # successive substitution contracts linearly with rate lambda, so
+        # the remaining correction is d / (1 - lambda); lambda estimated
+        # from two CONSECUTIVE plain deltas (every-3rd-iteration cadence
+        # keeps the estimate clean — the delta after an extrapolated step
+        # is not a plain SS delta).  Clipped to 0.9 (a <= 10x step) so an
+        # overshoot stays inside the NPT warm-start basin; the plain
+        # update is the fallback whenever the estimate is unusable.
+        den = jnp.sum(d_prev * d_prev)
+        lam = jnp.sum(d * d_prev) / jnp.where(den > 0.0, den, 1.0)
+        lam = jnp.clip(lam, -0.9, 0.9)
+        accel = (it % 3 == 2) & (it >= 5) & (den > 0.0) & jnp.isfinite(lam)
+        lnK_new = jnp.where(accel, lnK + d / (1.0 - lam), lnK_ss)
+        converged = jnp.max(jnp.abs(d)) < _LNK_TOL
         bad = ~jnp.all(jnp.isfinite(lnK_new)) | ~jnp.all(jnp.isfinite(lnr_new))
         # apply the converging update (solved-state accuracy: the final
         # step costs nothing — see docs/design.md), THEN freeze
@@ -244,18 +263,19 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0, phi_fn_jac=None,
         lnK = jnp.where(upd, lnK_new, lnK)
         lnr = jnp.where(upd, lnr_new, lnr)
         beta = jnp.where(upd, b, beta)
-        return lnK, beta, lnr, it + 1, done | converged | bad
+        d_prev = jnp.where(upd, d, d_prev)
+        return lnK, beta, lnr, it + 1, done | converged | bad, d_prev
 
     done0 = jnp.asarray(False) if active is None else ~active
-    state0 = (lnK0, beta_i, lnr_i, 0, done0)
-    lnK, beta, lnr, _, done = jax.lax.while_loop(ss_cond, ss_body, state0)
+    state0 = (lnK0, beta_i, lnr_i, 0, done0, jnp.zeros_like(lnK0))
+    lnK, beta, lnr, _, done, _ = jax.lax.while_loop(ss_cond, ss_body, state0)
 
     # final NPT polish at the POST-loop compositions (the last lnK update
     # moved x/y after the last density solve), then the residual check at
     # the returned state (exact isofugacity and isobaric closure,
     # independent of the loop's own exit test)
     b, x, y = comps_of(lnK, beta)
-    lnr = npt_steps(lnr, x, y, _N_NPT_WARM)
+    lnr = npt_steps(lnr, x, y, _N_NPT_POLISH)
     R = jnp.stack([x, y]) * jnp.exp(lnr)[:, None]
     pt, g = _states_eos(phi_fn, R)
     _, dpt = pt_and_slope(jnp.stack([x, y]), lnr)
@@ -375,7 +395,15 @@ def flash_implicit_gradients(solve_fn, resid_fn, diff_args):
             )[1]
         )(eye)                                   # (m, B, m)
         J = jnp.transpose(Jcols, (1, 2, 0))      # (B, m_row, m_col)
+        # failed lanes sit at a parked filler state where J can be
+        # singular; a singular LU factor NaNs even a zero right-hand side
+        # (and the TRANSPOSED solve of the reverse-mode rule), and that
+        # NaN survives the post-masking.  Replace J with the identity and
+        # zero the rhs on those lanes so the solve is well-posed
+        # everywhere; their tangents come out exactly zero.
+        J = jnp.where(ok[:, None, None], J, eye)
         _, dFdth = jax.jvp(lambda d: resid_fn(d, v), (da,), (dda,))
+        dFdth = jnp.where(ok[:, None], dFdth, 0.0)
         dv = -jnp.linalg.solve(J, dFdth[..., None])[..., 0]
         dv = jnp.where(ok[:, None], dv, 0.0)
 
