@@ -22,8 +22,21 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the solver graphs are large (nested Newton
 # loops under vmap/jit); caching amortizes compile time across test runs.
+#
+# Cache WRITES are gated behind FEOS_TPU_CACHE_WRITE=1: under the
+# sandbox's remote-compile relay, the cache's executable serialization
+# (`compilation_cache.put_executable_and_time`) segfaults/aborts
+# nondeterministically in LONG-LIVED processes (observed in 5/6 full
+# serial suite runs, each time at the first file needing new cache
+# writes late in the run; never in short per-file processes).  Default
+# mode therefore only READS the cache; `tools/warm_cache.sh` populates
+# it with one clean per-file pytest pass.
 jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).resolve().parent.parent / ".jax_cache_cpu"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("FEOS_TPU_CACHE_WRITE") == "1":
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+else:
+    # threshold no compile ever reaches -> never write, always read
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1e9)
 
 import json  # noqa: E402
 from pathlib import Path  # noqa: E402
