@@ -627,10 +627,17 @@ bool mix_vle_cpp(const Par& p, double T, const double z[2], double p0,
 template <class Par>
 int flash_tp_cpp(const Par& p, double T, const double z[2], double pt_target,
                  double* beta_out, double x[2], double y[2], double rho2[2]) {
+    // edge-solve estimate floored at 1e5 Pa in reduced units
+    // (1e5 * ANGSTROM^3 / kB / T): the VLE solver recovers from a
+    // too-high estimate (grid scan caps p0 below the spinodal maximum)
+    // but not from one decades too low — and a flash target mid-way
+    // through a wide window sits far below its bubble point (same fix
+    // as feos_tpu/models/pcsaft_mix.py flash()).
+    double p0e = std::max(pt_target, 1e5 * 7.2429716939261674e-8 / T);
     double rib[2], rbb[2], pt_b;   // bubble: incipient vapor
     double rid[2], rbd[2], pt_d;   // dew: incipient liquid
-    bool okb = mix_vle_cpp(p, T, z, pt_target, true, rib, rbb, &pt_b);
-    bool okd = mix_vle_cpp(p, T, z, pt_target, false, rid, rbd, &pt_d);
+    bool okb = mix_vle_cpp(p, T, z, p0e, true, rib, rbb, &pt_b);
+    bool okd = mix_vle_cpp(p, T, z, p0e, false, rid, rbd, &pt_d);
     if (!okb || !okd) return -1;
     if (pt_target >= pt_b) return 0;
     if (pt_target <= pt_d) return 1;
@@ -652,6 +659,7 @@ int flash_tp_cpp(const Par& p, double T, const double z[2], double pt_target,
     double rho_v = rbd[0] + rbd[1];          // dew-side vapor density
     bool conv = false;
     double res_mu = 1e300;
+    double d_prev[2] = {0.0, 0.0};
     for (int it = 0; it < 200; ++it) {
         // Rachford-Rice: clipped Newton (h is monotone decreasing on [0,1])
         double K[2] = {std::exp(lnK[0]), std::exp(lnK[1])};
@@ -685,12 +693,26 @@ int flash_tp_cpp(const Par& p, double T, const double z[2], double pt_target,
         MixEos ol = eos_mix(p, T, x[0] * rho_l, x[1] * rho_l);
         MixEos ov = eos_mix(p, T, y[0] * rho_v, y[1] * rho_v);
         // equilibrium: mu_i^L = mu_i^V with mu_i = ln rho_i + g_i, so
-        // ln K = ln(y/x) updates by the total-potential mismatch
-        double dmax = 0.0;
+        // ln K = ln(y/x) updates by the total-potential mismatch.
+        // Every 3rd iteration applies dominant-eigenvalue (GDEM)
+        // extrapolation d/(1 - lambda), lambda from two consecutive
+        // plain deltas clipped to 0.95 — near-critical rows contract at
+        // rates ~0.99 and stall the plain loop at the iteration cap
+        // (same scheme as feos_tpu/solvers/flash.py).
+        double d[2], dmax = 0.0;
         for (int i = 0; i < 2; ++i) {
-            double d = ol.mu[i] - ov.mu[i];
-            lnK[i] += d;
-            dmax = std::max(dmax, std::abs(d));
+            d[i] = ol.mu[i] - ov.mu[i];
+            dmax = std::max(dmax, std::abs(d[i]));
+        }
+        double den = d_prev[0] * d_prev[0] + d_prev[1] * d_prev[1];
+        double lam = 0.0;
+        if (den > 0.0) lam = (d[0] * d_prev[0] + d[1] * d_prev[1]) / den;
+        lam = std::clamp(lam, -0.95, 0.95);
+        bool accel = (it % 3 == 2) && it >= 5 && den > 0.0 &&
+                     std::isfinite(lam);
+        for (int i = 0; i < 2; ++i) {
+            lnK[i] += accel ? d[i] / (1.0 - lam) : d[i];
+            d_prev[i] = d[i];
         }
         res_mu = dmax;
         if (dmax < 1e-11) {

@@ -864,13 +864,16 @@ def gc_flash(params: GcParams, temperature, molefracs, pressure,
         temperature, z, pressure = map(sg, (temperature, z, pressure))
     br = branches if branches is not None else static_branches_gc(params)
 
-    # window detection stays detached (masks + initialization only)
+    # window detection stays detached (masks + initialization only);
+    # the estimate is floored at 1e5 Pa — see pcsaft_mix.flash (the edge
+    # solvers recover from a too-high estimate but not one decades low)
+    p0_edges = sg(jnp.maximum(pressure, 1e5))
     p_bub, nan_b, y_bub = gc_incipient_property(
-        g_s, sg(temperature), sg(z), sg(pressure), bubble=True,
+        g_s, sg(temperature), sg(z), p0_edges, bubble=True,
         branches=br, full_output=True,
     )
     p_dew, nan_d, x_dew = gc_incipient_property(
-        g_s, sg(temperature), sg(z), sg(pressure), bubble=False,
+        g_s, sg(temperature), sg(z), p0_edges, bubble=False,
         branches=br, full_output=True,
     )
     p_red = pressure / temperature * PA_PER_KT_TO_REDUCED

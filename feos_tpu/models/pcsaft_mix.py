@@ -936,14 +936,22 @@ def flash(parameters, kij, temperature, molefracs, pressure, branches=None,
     br = branches if branches is not None else static_branches(parameters)
 
     # two-phase window from the library's own edge solvers at the feed
-    # (detached: the window feeds masks and solver initialization only)
+    # (detached: the window feeds masks and solver initialization only).
+    # The initial pressure estimate is floored at 1e5 Pa: the edge
+    # solvers structurally recover from a too-HIGH estimate (the grid
+    # scan caps p0 below the spinodal maximum) but not from one decades
+    # too LOW (the vapor lane initializes at rho ~ p0) — and a flash
+    # target mid-way through an ultra-wide window (fuzz rows with
+    # (p_dew, p_bub) spanning 6+ decades) sits 3+ decades below its
+    # bubble point.
     kij_s = None if kij_a is None else sg(kij_a)
+    p0_edges = sg(jnp.maximum(pressure, 1e5))
     p_bub, nan_b, y_bub = _incipient_property(
-        sg(parameters), kij_s, sg(temperature), sg(z), sg(pressure),
+        sg(parameters), kij_s, sg(temperature), sg(z), p0_edges,
         bubble=True, branches=br, full_output=True,
     )
     p_dew, nan_d, x_dew = _incipient_property(
-        sg(parameters), kij_s, sg(temperature), sg(z), sg(pressure),
+        sg(parameters), kij_s, sg(temperature), sg(z), p0_edges,
         bubble=False, branches=br, full_output=True,
     )
 

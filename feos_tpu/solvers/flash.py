@@ -247,12 +247,15 @@ def flash_tp(phi_fn, z, p_red, md3, lnK0, beta0, lnr0, phi_fn_jac=None,
         # the remaining correction is d / (1 - lambda); lambda estimated
         # from two CONSECUTIVE plain deltas (every-3rd-iteration cadence
         # keeps the estimate clean — the delta after an extrapolated step
-        # is not a plain SS delta).  Clipped to 0.9 (a <= 10x step) so an
-        # overshoot stays inside the NPT warm-start basin; the plain
-        # update is the fallback whenever the estimate is unusable.
+        # is not a plain SS delta).  Clipped to 0.95 (a <= 20x step; 0.9
+        # left ultra-wide-window rows — 6+ decade (p_dew, p_bub) spans
+        # from the fuzz sweep, contraction rates ~0.99 — stuck at the
+        # iteration cap) so an overshoot stays inside the NPT warm-start
+        # basin; the plain update is the fallback whenever the estimate
+        # is unusable.
         den = jnp.sum(d_prev * d_prev)
         lam = jnp.sum(d * d_prev) / jnp.where(den > 0.0, den, 1.0)
-        lam = jnp.clip(lam, -0.9, 0.9)
+        lam = jnp.clip(lam, -0.95, 0.95)
         accel = (it % 3 == 2) & (it >= 5) & (den > 0.0) & jnp.isfinite(lam)
         lnK_new = jnp.where(accel, lnK + d / (1.0 - lam), lnK_ss)
         converged = jnp.max(jnp.abs(d)) < _LNK_TOL

@@ -306,3 +306,64 @@ def test_fuzz_gc_bubble_dew_vs_oracle():
             np.asarray(p_jax)[both], p_cpp[both], rtol=1e-9,
             err_msg=f"{label} pressures diverge from oracle",
         )
+
+
+def test_fuzz_flash_vs_oracle():
+    """Randomized TP-flash sweep: JAX flash vs the C++ oracle flash.
+
+    Random binary systems over all association regimes (cross, induced,
+    dipolar overlaps, eps_AiBj overrides — same draw as the bubble/dew
+    fuzz), pressures placed strictly inside the two-phase window
+    (log-blend weight 0.2..0.8 of the JAX edge solves, so window
+    classification is unambiguous).  Both implementations must agree on
+    the phase code and, on two-phase rows, on beta / x / y / rho at the
+    solver noise floor."""
+    from feos_tpu.models import pcsaft_mix as M
+
+    rng = np.random.default_rng(20260821)
+    B = 48
+    p1 = _random_params(rng, B)
+    p2 = _random_params(rng, B, schemes=("2B", "1A"))
+    params = np.stack([p1, p2], axis=1)
+    both_2b = (p1[:, 6] * p1[:, 7] > 0) & (p2[:, 6] * p2[:, 7] > 0)
+    eps_ab_ij = np.where(
+        both_2b & (rng.random(B) < 0.5),
+        rng.uniform(1200.0, 2600.0, B),
+        0.0,
+    )
+    kij = np.stack([rng.uniform(-0.15, 0.15, B), eps_ab_ij], axis=1)
+    tc = np.minimum(_tc_estimate(p1), _tc_estimate(p2))
+    T = rng.uniform(0.55, 0.85, B) * tc
+    z1 = rng.uniform(0.1, 0.9, B)
+    p0 = np.full(B, 1e5)
+
+    eos = M.PcSaftMix(params, kij)
+    p_bub, nb = eos.bubble_point(T, z1, p0)
+    p_dew, nd = eos.dew_point(T, z1, p0)
+    edges_ok = ~(np.asarray(nb) | np.asarray(nd))
+    assert edges_ok.sum() >= 0.6 * B
+    w = rng.uniform(0.2, 0.8, B)
+    # harmless placeholder pressure on rows without a solved window
+    p = np.where(
+        edges_ok,
+        np.exp((1 - w) * np.log(np.asarray(p_bub))
+               + w * np.log(np.asarray(p_dew))),
+        1e5,
+    )
+
+    bj, xj, yj, rj, phj = map(np.asarray, eos.flash(T, z1, p))
+    bo, xo, yo, ro, pho = cpu_backend.mix_flash(params, kij, T, z1, p)
+
+    two_j = edges_ok & (phj == 2)
+    two_o = edges_ok & (pho == 2)
+    mismatch = two_j ^ two_o
+    assert two_j.sum() >= 0.55 * B, f"only {two_j.sum()}/{B} two-phase"
+    assert mismatch.sum() <= 0.02 * B + 1, (
+        f"{mismatch.sum()} phase mismatches at rows "
+        f"{np.nonzero(mismatch)[0][:10]}"
+    )
+    both = two_j & two_o
+    np.testing.assert_allclose(bo[both], bj[both], rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(xo[both], xj[both], rtol=0, atol=1e-8)
+    np.testing.assert_allclose(yo[both], yj[both], rtol=0, atol=1e-8)
+    np.testing.assert_allclose(ro[both], rj[both], rtol=1e-8)
